@@ -1,0 +1,154 @@
+"""Network building blocks (flax.linen), channels-LAST throughout.
+
+Behavioral counterparts of peract/helpers/network_utils.py (Conv3DBlock :128,
+Conv3DUpsampleBlock :237, DenseBlock :257, SpatialSoftmax3D :773). Differences by
+design, not accident:
+
+- Layouts are NDHWC (TPU-native); the reference is NCDHW for cuDNN.
+- Replicate padding is explicit ``jnp.pad(mode="edge")`` + VALID conv — XLA fuses the
+  pad into the convolution; torch's ``padding_mode='replicate'`` does the same thing.
+- Initializers mirror the reference's activation-conditioned choices (xavier-uniform
+  for linear heads, kaiming/he-uniform for relu/lrelu bodies) so variance profiles of
+  fresh checkpoints match.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LRELU_SLOPE = 0.02
+
+
+def act_fn(name: Optional[str]):
+    """Activation registry (network_utils.py:15-27)."""
+    if name is None:
+        return lambda x: x
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return lambda x: jax.nn.leaky_relu(x, LRELU_SLOPE)
+    if name == "elu":
+        return jax.nn.elu
+    if name == "tanh":
+        return jnp.tanh
+    raise ValueError(f"activation {name!r} not recognized")
+
+
+def _kernel_init(activation: Optional[str]):
+    """Activation-matched init (network_utils.py:140-156)."""
+    if activation in ("relu", "lrelu"):
+        # he/kaiming uniform; the lrelu slope correction is negligible at 0.02
+        return nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+    # xavier uniform (linear / tanh gain ~ 1)
+    return nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+
+
+class Conv3D(nn.Module):
+    """3D conv with replicate ('edge') padding + optional activation.
+
+    Counterpart of ``Conv3DBlock`` (network_utils.py:128-170): padding = k // 2 in
+    replicate mode, stride s, no norm (the reference raises on norm for 3D convs).
+    Input/output are ``[B, D, H, W, C]``.
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    activation: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel_size // 2
+        if pad:
+            x = jnp.pad(
+                x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)), mode="edge"
+            )
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,) * 3,
+            strides=(self.strides,) * 3,
+            padding="VALID",
+            kernel_init=_kernel_init(self.activation),
+            dtype=self.dtype,
+        )(x)
+        return act_fn(self.activation)(x)
+
+
+class Conv3DUpsample(nn.Module):
+    """conv -> trilinear x``strides`` upsample -> conv (network_utils.py:237-254).
+
+    Trilinear resize with half-pixel centers == torch ``align_corners=False``.
+    """
+
+    features: int
+    strides: int
+    kernel_size: int = 3
+    activation: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv3D(self.features, self.kernel_size, 1, self.activation, self.dtype)(x)
+        if self.strides > 1:
+            b, d, h, w, c = x.shape
+            x = jax.image.resize(
+                x,
+                (b, d * self.strides, h * self.strides, w * self.strides, c),
+                method="trilinear",
+            )
+        x = Conv3D(self.features, self.kernel_size, 1, self.activation, self.dtype)(x)
+        return x
+
+
+class DenseBlock(nn.Module):
+    """Linear + optional activation (network_utils.py:257-289)."""
+
+    features: int
+    activation: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(
+            self.features, kernel_init=_kernel_init(self.activation), dtype=self.dtype
+        )(x)
+        return act_fn(self.activation)(x)
+
+
+def spatial_softmax_3d(feature: jax.Array, temperature: float = 0.01) -> jax.Array:
+    """Per-channel soft-argmax over a cubic 3D feature map (network_utils.py:773-808).
+
+    Input ``[B, D, H, W, C]`` (cube: D == H == W); output ``[B, C * 3]`` laid out as
+    per-channel (x, y, z) triplets — the exact flat ordering ``dense0`` consumes in the
+    reference, so ported weights stay valid.
+
+    Axis quirk reproduced deliberately: the reference builds its position grids with
+    ``np.meshgrid(..., indexing='xy')`` (network_utils.py:782-786), which swaps the
+    first two axes, so "expected_x" integrates ``linspace[h_index]`` and "expected_y"
+    ``linspace[d_index]``. Harmless for learning, fatal for weight parity if changed.
+    """
+    b, d, h, w, c = feature.shape
+    assert d == h == w, "SpatialSoftmax3D expects a cubic grid"
+    flat = feature.reshape(b, d * h * w, c)
+    attn = jax.nn.softmax(flat.astype(jnp.float32) / temperature, axis=1)
+
+    lin = jnp.linspace(-1.0, 1.0, d, dtype=jnp.float32)
+    pos_x = jnp.broadcast_to(lin[None, :, None], (d, h, w)).reshape(-1)  # lin[h_idx]
+    pos_y = jnp.broadcast_to(lin[:, None, None], (d, h, w)).reshape(-1)  # lin[d_idx]
+    pos_z = jnp.broadcast_to(lin[None, None, :], (d, h, w)).reshape(-1)  # lin[w_idx]
+
+    # [B, S, C] x [S] -> [B, C] per axis; stack to per-channel (x,y,z) triplets.
+    ex = jnp.einsum("bsc,s->bc", attn, pos_x)
+    ey = jnp.einsum("bsc,s->bc", attn, pos_y)
+    ez = jnp.einsum("bsc,s->bc", attn, pos_z)
+    return jnp.stack([ex, ey, ez], axis=-1).reshape(b, c * 3)
+
+
+def global_max_pool_3d(x: jax.Array) -> jax.Array:
+    """[B, D, H, W, C] -> [B, C] (AdaptiveMaxPool3d(1), network_utils/perceiver use)."""
+    return jnp.max(x, axis=(1, 2, 3))
