@@ -1,0 +1,170 @@
+"""Integration: train runner (resume/rotation), rollout branches, eval sweep."""
+
+import os
+
+import numpy as np
+import pytest
+
+from voxactb_tpu.agents.qattention_agent import QAttentionBCAgent
+from voxactb_tpu.config import MethodConfig
+from voxactb_tpu.envs.fake_env import FakeBimanualEnv
+from voxactb_tpu.replay import UniformReplayBuffer, bc_replay_signature
+from voxactb_tpu.replay.dataset import PrefetchIterator
+from voxactb_tpu.runners.eval_runner import EvalRunner, select_checkpoints
+from voxactb_tpu.runners.rollout import RolloutGenerator
+from voxactb_tpu.runners.train_runner import OfflineTrainRunner
+
+CAMERAS = ["wrist", "wrist2"]
+BOUNDS = [-0.8, -1.0, 0.1, 1.2, 1.0, 2.1]
+IMG = 16
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        voxel_sizes=[10], num_latents=16, latent_dim=32, transformer_depth=1,
+        cross_dim_head=16, latent_dim_head=16, final_dim=8, lr=1e-3,
+        which_arm="dominant", arm_pred_loss=True, apply_se3=False,
+    )
+    base.update(kw)
+    return MethodConfig(**base)
+
+
+def fill_buffer(rng, cfg, n=6):
+    buf = UniformReplayBuffer(
+        32, bc_replay_signature(CAMERAS, (IMG, IMG), cfg.low_dim_size(),
+                                arm_pred_loss=True))
+    for i in range(n):
+        t = {
+            "low_dim_state": rng.normal(size=(cfg.low_dim_size(),)),
+            "trans_action_indicies": rng.integers(0, 10, (3,)),
+            "rot_grip_action_indicies": np.r_[rng.integers(0, 72, 3),
+                                              rng.integers(0, 2)],
+            "ignore_collisions": [1],
+            "gripper_pose": np.r_[rng.uniform(-0.3, 0.7, 3), 0, 0, 0, 1],
+            "lang_goal_emb": rng.normal(size=(1024,)),
+            "lang_token_embs": rng.normal(size=(77, 512)),
+            "task_id": 0, "label": [i % 2],
+        }
+        for c in CAMERAS:
+            t[f"{c}_rgb"] = rng.integers(0, 255, (IMG, IMG, 3))
+            t[f"{c}_point_cloud"] = rng.uniform(-0.5, 1.5, (IMG, IMG, 3))
+        buf.add(t)
+    return buf
+
+
+def make_dataset(buf, batch=2):
+    def sample():
+        b = buf.sample_transition_batch(batch)
+        b["scene_bounds"] = np.asarray(BOUNDS, np.float32)
+        return b
+    return PrefetchIterator(sample)
+
+
+def test_train_runner_saves_rotates_and_resumes(tmp_path, rng):
+    cfg = tiny_cfg()
+    buf = fill_buffer(rng, cfg)
+    agent = QAttentionBCAgent(cfg, CAMERAS, BOUNDS, batch_size=2,
+                              training_iterations=6)
+    ds = make_dataset(buf)
+    runner = OfflineTrainRunner(
+        agent, ds, str(tmp_path / "logs"), str(tmp_path / "weights"),
+        training_iterations=6, save_freq=2, log_freq=2, num_weights_to_keep=2,
+    )
+    runner.start()
+    ds.close()
+    saved = sorted(os.listdir(tmp_path / "weights"), key=int)
+    # rotation keeps 2 plus the final save
+    assert len(saved) <= 3 and "5" in saved
+
+    # resume: a fresh runner should pick up from the last save and do nothing more
+    agent2 = QAttentionBCAgent(cfg, CAMERAS, BOUNDS, batch_size=2,
+                               training_iterations=6)
+    ds2 = make_dataset(buf)
+    runner2 = OfflineTrainRunner(
+        agent2, ds2, str(tmp_path / "logs"), str(tmp_path / "weights"),
+        training_iterations=6, save_freq=2, log_freq=2,
+    )
+    agent2.build(training=True)
+    assert runner2.resume_step() == 6
+    ds2.close()
+    assert os.path.exists(tmp_path / "logs" / "train_data.csv")
+
+
+def test_rollout_dominant_assistive_alternation(rng):
+    cfg = tiny_cfg()
+    env = FakeBimanualEnv(image_size=IMG, episode_length=6, seed=3)
+    env.launch()
+    acting = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    stabilizing = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    acting.build(training=False)
+    stabilizing.build(training=False)
+
+    gen = RolloutGenerator()
+    transitions = list(gen.generator(
+        env, acting, episode_length=4, left_arm_agent=stabilizing,
+        which_arm="dominant_assistive", crop_target_obj_voxel=True,
+        crop_radius=0.3,
+    ))
+    assert len(transitions) >= 1
+    dom = env.dominant_arm()
+    assistive = "left" if dom == "right" else "right"
+    arms = [arm for _, arm, _ in env.step_log]
+    # assistive acts on even steps, dominant on odd (rollout_generator.py:233-239)
+    expected = [assistive if i % 2 == 0 else dom for i in range(len(arms))]
+    assert arms == expected
+    # actions stay inside the cropped scene bounds
+    crop = np.asarray(env.target_object_world_coords())
+    for _, _, action in env.step_log:
+        assert np.all(np.abs(action[:3] - np.round(crop, 2)) <= 0.3 + 1e-6)
+    # last transition is terminal (success or timeout)
+    assert transitions[-1].terminal
+
+
+def test_rollout_single_arm_branch(rng):
+    cfg = tiny_cfg(which_arm="right", arm_pred_loss=False)
+    env = FakeBimanualEnv(image_size=IMG, episode_length=3, seed=1)
+    env.launch()
+    agent = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    agent.build(training=False)
+    gen = RolloutGenerator()
+    transitions = list(gen.generator(
+        env, agent, episode_length=3, which_arm="right",
+        crop_target_obj_voxel=False,
+    ))
+    assert transitions and transitions[-1].terminal
+    assert all(arm == "right" for _, arm, _ in env.step_log)
+
+
+def test_eval_runner_sweep_and_skip(tmp_path, rng):
+    cfg = tiny_cfg()
+    # save two fake checkpoints
+    agent = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    agent.build(training=False)
+    env = FakeBimanualEnv(image_size=IMG, episode_length=3, seed=2)
+    env.launch()
+    # initialize params via one act
+    obs = env.reset()
+    agent.act(0, obs, which_arm="dominant", dominant_assitive_policy=True)
+    for step in (0, 2):
+        d = tmp_path / "weights" / str(step)
+        agent.save_weights(str(d))
+
+    stabilizing = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    runner = EvalRunner(
+        env, agent, str(tmp_path / "weights"), str(tmp_path / "logs"),
+        left_arm_agent=stabilizing, eval_episodes=2, episode_length=3,
+    )
+    results = runner.start("missing")
+    assert [r["step"] for r in results] == [0, 2]
+    assert all("eval_envs/return" in r for r in results)
+
+    # second run: everything already scored
+    results2 = runner.start("missing")
+    assert results2 == []
+
+    # best/last selection
+    assert select_checkpoints(str(tmp_path / "weights"), "last",
+                              str(tmp_path / "logs" / "eval_data.csv")) == [2]
+    best = select_checkpoints(str(tmp_path / "weights"), "best",
+                              str(tmp_path / "logs" / "eval_data.csv"))
+    assert best and best[0] in (0, 2)

@@ -1,0 +1,87 @@
+"""VLM crop geometry: mask -> crop point + auto radius (no model weights needed)."""
+
+import numpy as np
+import pytest
+
+from voxactb_tpu.vlm import (
+    VLM,
+    GroundTruthLocalizer,
+    MaskLocalizer,
+    crop_point_from_mask,
+    task_queries,
+)
+from voxactb_tpu.vlm.pipeline import JAR_Z_FALLBACK, voxel_downsample
+
+
+def scene(rng, h=32, w=32, obj_center=(0.2, -0.1, 0.9), obj_size=0.06):
+    pcd = rng.uniform(-1, 1, (h, w, 3)).astype(np.float32)
+    pcd[..., 2] += 1.0
+    mask = np.zeros((h, w), bool)
+    mask[5:15, 5:15] = True
+    pcd[mask] = np.asarray(obj_center) + rng.uniform(
+        -obj_size / 2, obj_size / 2, (mask.sum(), 3)).astype(np.float32)
+    rgb = np.zeros((h, w, 3), np.uint8)
+    return rgb, pcd, mask
+
+
+def test_crop_point_is_object_centroid(rng):
+    _, pcd, mask = scene(rng)
+    point, radius = crop_point_from_mask(mask, pcd)
+    np.testing.assert_allclose(point, [0.2, -0.1, 0.9], atol=0.02)
+    # auto radius = half max extent + 5cm (vlm.py:182-192)
+    assert 0.05 < radius < 0.1
+
+
+def test_open_jar_z_fallback(rng):
+    _, pcd, mask = scene(rng)
+    point, _ = crop_point_from_mask(mask, pcd, task_name="open_jar")
+    assert point[2] == pytest.approx(JAR_Z_FALLBACK)
+
+
+def test_empty_mask_raises(rng):
+    _, pcd, _ = scene(rng)
+    with pytest.raises(ValueError, match="empty object mask"):
+        crop_point_from_mask(np.zeros(pcd.shape[:2], bool), pcd)
+
+
+def test_nonfinite_points_ignored(rng):
+    _, pcd, mask = scene(rng)
+    pcd[6, 6] = np.nan
+    point, _ = crop_point_from_mask(mask, pcd)
+    assert np.isfinite(point).all()
+
+
+def test_voxel_downsample_reduces_density(rng):
+    pts = rng.normal(size=(5000, 3)).astype(np.float32) * 0.01  # 1cm cluster
+    down = voxel_downsample(pts, voxel=0.01)
+    assert 1 <= len(down) < len(pts)
+    # centroid preserved approximately
+    np.testing.assert_allclose(down.mean(0), pts.mean(0), atol=0.02)
+
+
+def test_vlm_with_mask_localizer(rng):
+    rgb, pcd, mask = scene(rng)
+    vlm = VLM(MaskLocalizer(lambda q: mask))
+    point, radius = vlm.get_target_object_world_coords(rgb, pcd, "open_drawer")
+    np.testing.assert_allclose(point, [0.2, -0.1, 0.9], atol=0.02)
+
+
+def test_ground_truth_localizer():
+    loc = GroundTruthLocalizer(lambda: np.array([1.0, 2.0, 3.0]), radius=0.25)
+    point, radius = loc.locate()
+    np.testing.assert_array_equal(point, [1, 2, 3])
+    assert radius == 0.25
+
+
+def test_task_queries():
+    assert task_queries("open_jar") == "jar"
+    assert task_queries("open_drawer") == "drawer handle"
+    assert task_queries("unknown_task") == "object"
+
+
+def test_owlvit_detector_gates_cleanly():
+    from voxactb_tpu.vlm.pipeline import OwlVitSamDetector
+
+    det = OwlVitSamDetector(owlvit_path="/nonexistent", sam_path="/nonexistent")
+    with pytest.raises(RuntimeError, match="locally available"):
+        det(np.zeros((8, 8, 3), np.uint8), "jar")

@@ -144,6 +144,9 @@ class QAttentionBCAgent(Agent):
                 observation["low_dim_state_left_arm"], np.float32).reshape(1, -1)
         else:
             proprio = np.asarray(observation["low_dim_state"], np.float32).reshape(1, -1)
+        # envs may carry extra trailing channels (e.g. the arm-id slot) that a given
+        # arm-mode config doesn't consume — keep exactly the configured width
+        proprio = proprio[:, : self._cfg.low_dim_size()]
 
         rgbs = tuple(
             np.asarray(observation[f"{c}_rgb"], np.float32).reshape(
@@ -157,6 +160,15 @@ class QAttentionBCAgent(Agent):
             )
             for c in self._camera_names
         )
+
+        if self._params is None:
+            # fresh (untrained) evaluation — initialize weights lazily
+            n = self._cfg.voxel_size
+            self._params = self._model.init(
+                jax.random.key(0),
+                jnp.zeros((1, n, n, n, 10), jnp.float32),
+                jnp.asarray(proprio), jnp.asarray(lang_goal), jnp.asarray(lang_tok),
+            )
 
         out: InferOutput = self._infer(
             self._params, rgbs, pcds, proprio, lang_goal, lang_tok, bounds

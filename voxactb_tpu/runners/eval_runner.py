@@ -1,0 +1,138 @@
+"""Checkpoint evaluation orchestration: sweep weights, roll episodes, score, log.
+
+Counterpart of ``IndependentEnvRunner`` / ``_IndependentEnvRunner``
+(yarr/runners/independent_env_runner.py:19-146, _independent_env_runner.py:27-380) and
+the checkpoint-selection logic in peract/eval.py:144-199:
+
+- ``eval_type='missing'``: score every saved weight step not already present in
+  ``eval_data.csv`` (skip-already-scored, eval.py:148-152);
+- ``'best'``: read the eval CSV and evaluate the best step on the test seed;
+- ``'last'``: newest weights only; an int evaluates that specific step.
+- dual-policy eval: an independently-selected stabilizing (left-arm) checkpoint rides
+  along (eval.py:206-241, conf/eval.yaml left_arm_ckpt).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from voxactb_tpu.agents.base import Agent
+from voxactb_tpu.envs.base import BimanualEnv
+from voxactb_tpu.runners.rollout import RolloutGenerator
+from voxactb_tpu.utils.loggers import CsvWriter, StatAccumulator
+
+
+def existing_weight_steps(weightsdir: str) -> List[int]:
+    if not os.path.isdir(weightsdir):
+        return []
+    return sorted(int(d) for d in os.listdir(weightsdir) if d.isdigit())
+
+
+def already_scored_steps(csv_path: str) -> List[int]:
+    if not os.path.exists(csv_path):
+        return []
+    with open(csv_path) as f:
+        return [int(float(r["step"])) for r in csv.DictReader(f) if r.get("step")]
+
+
+def select_checkpoints(weightsdir: str, eval_type, eval_csv: str) -> List[int]:
+    """eval.py:144-199 selection semantics."""
+    steps = existing_weight_steps(weightsdir)
+    if not steps:
+        return []
+    if isinstance(eval_type, int):
+        return [eval_type] if eval_type in steps else []
+    if eval_type == "last":
+        return [steps[-1]]
+    if eval_type == "missing":
+        done = set(already_scored_steps(eval_csv))
+        return [s for s in steps if s not in done]
+    if eval_type == "best":
+        best_step, best_ret = None, -np.inf
+        if os.path.exists(eval_csv):
+            with open(eval_csv) as f:
+                for r in csv.DictReader(f):
+                    ret = float(r.get("eval_envs/return", "nan") or "nan")
+                    if np.isfinite(ret) and ret >= best_ret:
+                        best_ret, best_step = ret, int(float(r["step"]))
+        return [best_step] if best_step is not None else [steps[-1]]
+    raise ValueError(f"unknown eval_type {eval_type!r}")
+
+
+class EvalRunner:
+    def __init__(
+        self,
+        env: BimanualEnv,
+        agent: Agent,
+        weightsdir: str,
+        logdir: str,
+        left_arm_agent: Optional[Agent] = None,
+        left_arm_ckpt: Optional[str] = None,
+        eval_episodes: int = 25,
+        episode_length: int = 25,
+        which_arm: str = "dominant_assistive",
+        crop_target_obj_voxel: bool = True,
+        crop_radius: float = 0.3,
+        auto_crop: bool = False,
+        eval_from_eps_number: int = 0,
+        csv_name: str = "eval_data.csv",
+    ):
+        self._env = env
+        self._agent = agent
+        self._left_arm_agent = left_arm_agent
+        self._left_arm_ckpt = left_arm_ckpt
+        self._weightsdir = weightsdir
+        self._logdir = logdir
+        self._eval_episodes = eval_episodes
+        self._episode_length = episode_length
+        self._which_arm = which_arm
+        self._crop = crop_target_obj_voxel
+        self._crop_radius = crop_radius
+        self._auto_crop = auto_crop
+        self._eval_from = eval_from_eps_number
+        self._csv_path = os.path.join(logdir, csv_name)
+        self._rollout = RolloutGenerator()
+
+    def _eval_checkpoint(self, step: int) -> Dict[str, float]:
+        self._agent.load_weights(os.path.join(self._weightsdir, str(step)))
+        if self._left_arm_agent is not None and self._left_arm_ckpt:
+            self._left_arm_agent.load_weight(self._left_arm_ckpt)
+
+        acc = StatAccumulator()
+        for ep in range(self._eval_from, self._eval_from + self._eval_episodes):
+            total_reward, length = 0.0, 0
+            for rt in self._rollout.generator(
+                self._env, self._agent, self._episode_length, eval=True,
+                left_arm_agent=self._left_arm_agent, which_arm=self._which_arm,
+                crop_target_obj_voxel=self._crop, crop_radius=self._crop_radius,
+                auto_crop=self._auto_crop, demo_index=ep,
+            ):
+                total_reward += rt.reward
+                length += 1
+            acc.step_episode(total_reward, length)
+
+        row: Dict[str, float] = {"step": step}
+        for s in acc.pop():
+            row[s.name] = s.value
+        return row
+
+    def start(self, eval_type="missing") -> List[Dict[str, float]]:
+        self._agent.build(training=False)
+        if self._left_arm_agent is not None:
+            self._left_arm_agent.build(training=False)
+        self._env.launch()
+        writer = CsvWriter(self._csv_path)
+        results = []
+        try:
+            for step in select_checkpoints(self._weightsdir, eval_type,
+                                           self._csv_path):
+                row = self._eval_checkpoint(step)
+                writer.write(row)
+                results.append(row)
+        finally:
+            self._env.shutdown()
+        return results

@@ -1,0 +1,209 @@
+"""Episode rollout generation — the behavioral API surface of VoxAct-B evaluation.
+
+Counterpart of YARR's ``RolloutGenerator`` (yarr/utils/rollout_generator.py:19-741) and
+its six control branches (SURVEY §3.3). The branch logic is preserved; the torch
+obs-history tensor plumbing is not needed (agents consume numpy dicts directly and
+all math happens inside their jitted programs).
+
+Branches:
+- ``crop + dominant_assistive``  — THE VoxAct-B method (:208-297): VLM crop once per
+  episode -> new scene bounds; dominant-arm selection; assistive policy acts on even
+  steps, acting (dominant) policy on odd steps.
+- ``crop + both``                — two independent single-arm policies, fixed
+  right/left alternation (:131-207).
+- ``crop + multiarm``            — one policy, per-arm language instructions (:299-374).
+- ``dominant_assistive`` w/o crop (:375-459).
+- plain single-arm / baselines (:460-741).
+- ``voxposer_only``              — LLM planner drives both arms, no learned policy (:66).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Generator, Optional
+
+import numpy as np
+
+from voxactb_tpu.agents.base import ActResult, Agent
+from voxactb_tpu.envs.base import BimanualEnv
+from voxactb_tpu.ops.geometry import scene_bounds_from_crop
+
+
+@dataclass
+class ReplayTransition:
+    """yarr/utils/transition.py:18-30."""
+
+    observation: Dict[str, Any]
+    action: Any
+    reward: float
+    terminal: bool
+    timeout: bool
+    summaries: list = field(default_factory=list)
+    info: Dict[str, Any] = field(default_factory=dict)
+    final_observation: Optional[Dict[str, Any]] = None
+
+
+class RolloutGenerator:
+    def __init__(self, scene_bounds=None):
+        self._scene_bounds = scene_bounds
+
+    def generator(
+        self,
+        env: BimanualEnv,
+        agent: Agent,
+        episode_length: int,
+        eval: bool = True,
+        left_arm_agent: Optional[Agent] = None,
+        which_arm: str = "dominant_assistive",
+        crop_target_obj_voxel: bool = True,
+        crop_radius: float = 0.3,
+        auto_crop: bool = False,
+        no_acting_stabilizing: bool = False,
+        voxposer_only_eval: bool = False,
+        planner=None,
+        demo_index: Optional[int] = None,
+    ) -> Generator[ReplayTransition, None, None]:
+        obs = (env.reset_to_demo(demo_index) if demo_index is not None
+               else env.reset())
+
+        if voxposer_only_eval:
+            yield from self._voxposer_only(env, planner, obs, episode_length)
+            return
+
+        new_scene_bounds = None
+        if crop_target_obj_voxel:
+            crop_point = env.target_object_world_coords()
+            radius = env.auto_crop_radius() if auto_crop else crop_radius
+            new_scene_bounds = np.asarray(
+                scene_bounds_from_crop(crop_point, radius)).tolist()
+
+        if which_arm == "dominant_assistive":
+            yield from self._dominant_assistive(
+                env, agent, left_arm_agent, obs, episode_length, eval,
+                new_scene_bounds, not no_acting_stabilizing,
+            )
+        elif which_arm == "both":
+            yield from self._both_arms(
+                env, agent, left_arm_agent, obs, episode_length, eval,
+                new_scene_bounds,
+            )
+        elif which_arm == "multiarm":
+            yield from self._multiarm(
+                env, agent, obs, episode_length, eval, new_scene_bounds)
+        else:  # plain single-arm baseline
+            yield from self._single_arm(
+                env, agent, obs, episode_length, eval, which_arm, new_scene_bounds)
+
+    # -- branch bodies -----------------------------------------------------------
+
+    def _step_once(self, env, agent_, step, obs, which_arm, act_kwargs,
+                   episode_length):
+        act_result: ActResult = agent_.act(step, dict(obs), **act_kwargs)
+        transition = env.step(act_result.action, which_arm)
+        timeout = False
+        if step == episode_length - 1 and not transition.terminal:
+            timeout = True
+            transition.terminal = True
+
+        combined = dict(obs)
+        combined.update({k: np.asarray(v)
+                         for k, v in act_result.observation_elements.items()})
+        combined.update({k: np.asarray(v)
+                         for k, v in act_result.replay_elements.items()})
+        rt = ReplayTransition(
+            combined, act_result.action, transition.reward, transition.terminal,
+            timeout, summaries=transition.summaries, info=transition.info,
+        )
+        if transition.terminal:
+            rt.final_observation = dict(transition.observation)
+        return rt, transition
+
+    def _dominant_assistive(self, env, agent, left_arm_agent, obs,
+                            episode_length, eval, new_scene_bounds,
+                            dominant_assistive_policy):
+        """rollout_generator.py:208-297: assistive on even steps, acting on odd."""
+        dominant_arm = env.dominant_arm()
+        assistive_arm = "left" if dominant_arm == "right" else "right"
+        dominant_agent, assistive_agent = agent, left_arm_agent
+
+        for step in range(episode_length):
+            if step % 2 == 0:
+                curr_agent, arm = assistive_agent, assistive_arm
+            else:
+                curr_agent, arm = dominant_agent, dominant_arm
+            rt, transition = self._step_once(
+                env, curr_agent, step, obs, arm,
+                dict(deterministic=eval, which_arm=arm,
+                     new_scene_bounds=new_scene_bounds,
+                     dominant_assitive_policy=dominant_assistive_policy),
+                episode_length,
+            )
+            obs = dict(transition.observation)
+            yield rt
+            if transition.terminal:
+                return
+
+    def _both_arms(self, env, right_agent, left_agent, obs, episode_length,
+                   eval, new_scene_bounds):
+        """rollout_generator.py:131-207: fixed left/right alternation, two policies."""
+        for step in range(episode_length):
+            if step % 2 == 0:
+                curr_agent, arm = left_agent, "left"
+            else:
+                curr_agent, arm = right_agent, "right"
+            rt, transition = self._step_once(
+                env, curr_agent, step, obs, arm,
+                dict(deterministic=eval, which_arm=arm,
+                     new_scene_bounds=new_scene_bounds),
+                episode_length,
+            )
+            obs = dict(transition.observation)
+            yield rt
+            if transition.terminal:
+                return
+
+    def _multiarm(self, env, agent, obs, episode_length, eval, new_scene_bounds):
+        """rollout_generator.py:299-374: one policy, per-arm language instructions."""
+        for step in range(episode_length):
+            arm = "left" if step % 2 == 0 else "right"
+            rt, transition = self._step_once(
+                env, agent, step, obs, arm,
+                dict(deterministic=eval, which_arm=f"multiarm_{arm}",
+                     new_scene_bounds=new_scene_bounds),
+                episode_length,
+            )
+            obs = dict(transition.observation)
+            yield rt
+            if transition.terminal:
+                return
+
+    def _single_arm(self, env, agent, obs, episode_length, eval, which_arm,
+                    new_scene_bounds):
+        """rollout_generator.py:460-741 (plain/baseline path)."""
+        for step in range(episode_length):
+            rt, transition = self._step_once(
+                env, agent, step, obs, which_arm,
+                dict(deterministic=eval, which_arm=which_arm,
+                     new_scene_bounds=new_scene_bounds),
+                episode_length,
+            )
+            obs = dict(transition.observation)
+            yield rt
+            if transition.terminal:
+                return
+
+    def _voxposer_only(self, env, planner, obs, episode_length):
+        """rollout_generator.py:66-130: the LLM planner drives both arms directly."""
+        if planner is None:
+            raise ValueError("voxposer_only_eval needs a planner")
+        for step, (action, arm) in enumerate(planner.plan(env, obs)):
+            if step >= episode_length:
+                return
+            transition = env.step(action, arm)
+            yield ReplayTransition(dict(obs), action, transition.reward,
+                                   transition.terminal,
+                                   timeout=step == episode_length - 1,
+                                   info=transition.info)
+            obs = dict(transition.observation)
+            if transition.terminal:
+                return

@@ -1,0 +1,134 @@
+"""Metric logging: append-only CSVs with backfill + optional TensorBoard.
+
+Counterpart of YARR's ``LogWriter`` (yarr/utils/log_writer.py:13-124: tensorboard +
+train/env CSVs whose field set can grow over time — missing keys backfill empty) and
+``SimpleAccumulator`` (yarr/utils/stat_accumulator.py:129: per-env return/length stats).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import threading
+from collections import OrderedDict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from voxactb_tpu.agents.base import ScalarSummary, Summary
+
+
+class CsvWriter:
+    """Append rows whose key set may grow; older rows backfill empty columns."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._fieldnames: List[str] = []
+        self._rows: List[Dict] = []
+        self._lock = threading.Lock()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def write(self, row: Dict) -> None:
+        with self._lock:
+            new_fields = [k for k in row if k not in self._fieldnames]
+            self._rows.append(dict(row))
+            if new_fields:
+                self._fieldnames.extend(new_fields)
+                self._rewrite()
+            else:
+                write_header = not os.path.exists(self._path) or \
+                    os.path.getsize(self._path) == 0
+                with open(self._path, "a", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=self._fieldnames)
+                    if write_header:
+                        w.writeheader()
+                    w.writerow({k: row.get(k, "") for k in self._fieldnames})
+
+    def _rewrite(self) -> None:
+        with open(self._path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames)
+            w.writeheader()
+            for r in self._rows:
+                w.writerow({k: r.get(k, "") for k in self._fieldnames})
+
+
+class LogWriter:
+    """train/env metric sink: CSV always, TensorBoard when available."""
+
+    def __init__(self, logdir: str, tensorboard_logging: bool = True,
+                 csv_logging: bool = True):
+        self._logdir = logdir
+        os.makedirs(logdir, exist_ok=True)
+        self._csv = CsvWriter(os.path.join(logdir, "train_data.csv")) \
+            if csv_logging else None
+        self._env_csv = CsvWriter(os.path.join(logdir, "env_data.csv")) \
+            if csv_logging else None
+        self._tb = None
+        if tensorboard_logging:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(logdir)
+            except Exception:
+                self._tb = None
+
+    def add_scalar(self, step: int, name: str, value) -> None:
+        if self._tb is not None:
+            self._tb.add_scalar(name, float(value), step)
+
+    def add_summaries(self, step: int, summaries: List[Summary],
+                      env: bool = False) -> None:
+        row = {"step": step}
+        for s in summaries:
+            if isinstance(s, ScalarSummary) or np.isscalar(s.value) or (
+                hasattr(s.value, "ndim") and getattr(s.value, "ndim", 1) == 0
+            ):
+                try:
+                    v = float(np.asarray(s.value))
+                except (TypeError, ValueError):
+                    continue
+                row[s.name] = v
+                self.add_scalar(step, s.name, v)
+        sink = self._env_csv if env else self._csv
+        if sink is not None and len(row) > 1:
+            sink.write(row)
+
+    def flush(self) -> None:
+        if self._tb is not None:
+            self._tb.flush()
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+
+
+class StatAccumulator:
+    """Episode return/length accumulation for eval envs
+    (yarr/utils/stat_accumulator.py:62-146)."""
+
+    def __init__(self):
+        self._returns: List[float] = []
+        self._lengths: List[int] = []
+        self._lock = threading.Lock()
+
+    def step_episode(self, total_reward: float, length: int) -> None:
+        with self._lock:
+            self._returns.append(float(total_reward))
+            self._lengths.append(int(length))
+
+    def pop(self) -> List[Summary]:
+        with self._lock:
+            if not self._returns:
+                return []
+            out = [
+                ScalarSummary("eval_envs/return", float(np.mean(self._returns))),
+                ScalarSummary("eval_envs/length", float(np.mean(self._lengths))),
+                ScalarSummary("eval_envs/episodes", float(len(self._returns))),
+            ]
+            self._returns.clear()
+            self._lengths.clear()
+            return out
+
+    def peak(self) -> Optional[float]:
+        with self._lock:
+            return float(np.mean(self._returns)) if self._returns else None
