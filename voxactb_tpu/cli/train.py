@@ -1,0 +1,155 @@
+"""BC training entry point.
+
+Counterpart of peract/train.py:28-109 + run_seed_fn.py:26-174: assemble config from
+``key=value`` overrides (hydra-style), snapshot it into the seed directory, fill the
+replay from stored demos, build the agent, run the offline train loop. The reference's
+``mp.spawn`` + gloo process group collapses into jit-over-Mesh data parallelism
+(SURVEY §2.7) — one process drives all local devices.
+
+Usage:
+  python -m voxactb_tpu.cli.train rlbench.task_name=open_jar \\
+      rlbench.demo_path=/data/demos method.which_arm=dominant \\
+      method.crop_target_obj_voxel=true method.crop_radius=0.3 \\
+      framework.training_iterations=100000 log_dir=/tmp/run1
+"""
+
+from __future__ import annotations
+
+import ast
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def parse_overrides(argv):
+    out = {}
+    for arg in argv:
+        if "=" not in arg:
+            raise SystemExit(f"override must be key=value, got {arg!r}")
+        k, v = arg.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v  # bare string
+    return out
+
+
+def build_replay_and_agent(cfg, lang_encoder=None, demos=None):
+    """Shared setup: signature -> buffer -> fill -> agent (run_seed_fn.py:60-140)."""
+    from voxactb_tpu.agents.qattention_agent import QAttentionBCAgent
+    from voxactb_tpu.data.fill_replay import fill_multi_task_replay
+    from voxactb_tpu.replay import TaskUniformReplayBuffer, bc_replay_signature
+
+    m = cfg.method
+    sig = bc_replay_signature(
+        cfg.rlbench.cameras, tuple(cfg.rlbench.camera_resolution),
+        low_dim_size=m.low_dim_size(),
+        crop_target_obj_voxel=m.crop_target_obj_voxel,
+        arm_pred_loss=m.arm_pred_loss,
+        two_arm=m.which_arm == "both",
+    )
+    replay = TaskUniformReplayBuffer(
+        capacity=int(1e5), signature=sig, seed=cfg.seed)
+
+    if demos is None and cfg.rlbench.demo_path:
+        from voxactb_tpu.data.rlbench_format import DemoReader
+
+        reader = DemoReader(cfg.rlbench.demo_path, cfg.rlbench.cameras)
+        demos = {t: reader.load(t, amount=cfg.rlbench.demos)
+                 for t in cfg.rlbench.tasks}
+    if demos:
+        from voxactb_tpu.utils.keypoints import KeypointConfig
+
+        kcfg = KeypointConfig(
+            saved_every_last_inserted=m.saved_every_last_inserted,
+            use_default_stopped_buffer_timesteps=(
+                m.use_default_stopped_buffer_timesteps),
+            stopped_buffer_timesteps_overwrite=(
+                m.stopped_buffer_timesteps_overwrite),
+            no_duplicate=m.keypoint_discovery_no_duplicate,
+        )
+        counts = fill_multi_task_replay(
+            replay, demos,
+            cameras=cfg.rlbench.cameras,
+            scene_bounds=cfg.rlbench.scene_bounds,
+            voxel_size=m.voxel_size,
+            rotation_resolution=m.rotation_resolution,
+            which_arm=m.which_arm,
+            lang_encoder=lang_encoder,
+            keypoint_cfg=kcfg,
+            dominant_assistive_arm_fn=lambda d: "right",
+            crop_target_obj_voxel=m.crop_target_obj_voxel,
+            crop_radius=m.crop_radius,
+            arm_pred_loss=m.arm_pred_loss,
+            arm_id_to_proprio=m.arm_id_to_proprio,
+            episode_length=cfg.rlbench.episode_length,
+        )
+        logging.info("replay filled: %s", counts)
+
+    agent = QAttentionBCAgent(
+        cfg.method, cfg.rlbench.cameras, cfg.rlbench.scene_bounds,
+        batch_size=cfg.replay.batch_size,
+        training_iterations=cfg.framework.training_iterations,
+    )
+    return replay, agent
+
+
+def main(argv=None, demos=None, lang_encoder=None):
+    from voxactb_tpu.config import Config
+    from voxactb_tpu.replay.dataset import PrefetchIterator
+    from voxactb_tpu.runners.train_runner import OfflineTrainRunner
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    cfg = Config().override(**parse_overrides(argv or sys.argv[1:]))
+
+    seed_dir = os.path.join(cfg.log_dir, cfg.rlbench.task_name,
+                            cfg.method.name, f"seed{cfg.seed}")
+    os.makedirs(seed_dir, exist_ok=True)
+    cfg.save(os.path.join(seed_dir, "config.json"))  # eval reloads this snapshot
+
+    if lang_encoder is None:
+        try:
+            from voxactb_tpu.models.clip_text import ClipLanguageEncoder
+
+            enc = ClipLanguageEncoder()
+            lang_encoder = lambda text: enc.encode_text([text])  # noqa: E731
+        except Exception as e:  # tokenizer vocab unavailable etc.
+            logging.warning("no language encoder (%s); using zero embeddings", e)
+
+    replay, agent = build_replay_and_agent(cfg, lang_encoder, demos)
+    if replay.size == 0:
+        raise SystemExit(
+            "replay is empty — set rlbench.demo_path to a demo dataset")
+
+    scene_bounds = np.asarray(cfg.rlbench.scene_bounds, np.float32)
+
+    def sample():
+        batch = replay.sample_transition_batch(cfg.replay.batch_size)
+        batch["scene_bounds"] = scene_bounds
+        return batch
+
+    dataset = PrefetchIterator(sample)
+    runner = OfflineTrainRunner(
+        agent, dataset,
+        logdir=seed_dir,
+        weightsdir=os.path.join(seed_dir, "weights"),
+        training_iterations=cfg.framework.training_iterations,
+        save_freq=cfg.framework.save_freq,
+        log_freq=cfg.framework.log_freq,
+        num_weights_to_keep=cfg.framework.num_weights_to_keep,
+        tensorboard_logging=cfg.framework.tensorboard_logging,
+        csv_logging=cfg.framework.csv_logging,
+        load_existing_weights=cfg.framework.load_existing_weights,
+    )
+    try:
+        runner.start()
+    finally:
+        dataset.close()
+    return seed_dir
+
+
+if __name__ == "__main__":
+    main()

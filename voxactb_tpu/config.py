@@ -105,15 +105,13 @@ class MethodConfig:
     def low_dim_size(self) -> int:
         """Proprio width by arm mode (launch_utils.py:58-75 + extract_obs timestep).
 
-        single arm: gripper_open + 2 finger joints + timestep = 4
-        dominant/assistive: left(3) + right(3) + open pair... = 8 (+1 with arm id)
+        single arm / both / multiarm: gripper_open + 2 finger joints + timestep = 4
+        dominant/assistive: left(3) + right(3) + timestep = 7, +1 arm-id channel
+        when ``arm_id_to_proprio`` (helpers/utils.py:614-618).
         """
         if self.which_arm in ("right", "left", "both", "multiarm"):
             return 4
-        base = 8
-        if self.arm_id_to_proprio:
-            base += 1
-        return base
+        return 8 if self.arm_id_to_proprio else 7
 
 
 @dataclass

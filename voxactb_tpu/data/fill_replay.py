@@ -1,0 +1,226 @@
+"""Demo -> keyframe transitions -> replay buffer.
+
+Counterpart of ``_get_action`` (launch_utils.py:167-299: keyframe gripper pose ->
+canonical quaternion -> per-axis rotation bins + voxel index in the scene/crop bounds),
+``_add_keypoints_to_replay`` (:301-489: per-keyframe crop-bounds override from the
+VLM-tagged ``target_object_pos``, language embedding, arm labels) and ``fill_replay``
+(:491-596) / ``fill_multi_task_replay`` (:598-660 — one process per task writing into
+a Manager-backed store; here a thread pool into the lock-protected buffer, since the
+store is in-process numpy, not pickled files).
+
+Host-side discretization uses scipy Rotation — bit-identical to the reference oracle;
+the device path (ops/geometry.py) is covered by its own parity tests.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from voxactb_tpu.replay.buffer import UniformReplayBuffer
+from voxactb_tpu.utils.keypoints import KeypointConfig, keypoint_discovery
+from voxactb_tpu.utils.observation import extract_obs
+
+REWARD_SCALE = 100.0  # launch_utils.py:32
+
+
+def quaternion_to_discrete_euler_np(quat: np.ndarray, resolution: int) -> np.ndarray:
+    euler = Rotation.from_quat(quat).as_euler("xyz", degrees=True) + 180.0
+    disc = np.around(euler / resolution).astype(np.int64)
+    disc[disc == int(360 / resolution)] = 0
+    return disc
+
+
+def point_to_voxel_index_np(point, voxel_size: int, bounds) -> np.ndarray:
+    bounds = np.asarray(bounds)
+    bb_mins, bb_maxs = bounds[0:3], bounds[3:6]
+    res = (bb_maxs - bb_mins) / (np.array([voxel_size] * 3) + 1e-12)
+    idx = np.minimum(
+        np.floor((point - bb_mins) / (res + 1e-12)).astype(np.int32),
+        voxel_size - 1,
+    )
+    return np.maximum(idx, 0)
+
+
+def scene_bounds_from_crop_np(radius: float, target_pos) -> List[float]:
+    p = np.round(np.asarray(target_pos, np.float64), 2)
+    return [p[0] - radius, p[1] - radius, p[2] - radius,
+            p[0] + radius, p[1] + radius, p[2] + radius]
+
+
+def discretize_keyframe(obs_tp1, obs_tm1, scene_bounds, voxel_size: int,
+                        rotation_resolution: int, arm: str):
+    """One arm's keyframe -> (trans_idx[3], rot_grip_idx[4], ignore_collisions,
+    gripper_pose8) (launch_utils.py:178-232)."""
+    pose = np.asarray(getattr(obs_tp1, f"gripper_{arm}_pose"), np.float64)
+    gripper_open = float(getattr(obs_tp1, f"gripper_{arm}_open"))
+    quat = pose[3:] / np.linalg.norm(pose[3:])
+    if quat[-1] < 0:
+        quat = -quat
+    rot = quaternion_to_discrete_euler_np(quat, rotation_resolution)
+    trans = point_to_voxel_index_np(pose[:3], voxel_size, scene_bounds)
+    ignore_collisions = int(getattr(obs_tm1, "ignore_collisions", 0))
+    rot_grip = np.concatenate([rot, [int(gripper_open)]]).astype(np.int32)
+    action = np.concatenate([pose, [gripper_open]]).astype(np.float32)
+    return trans.astype(np.int32), rot_grip, ignore_collisions, action
+
+
+def add_keypoints_to_replay(
+    replay: UniformReplayBuffer,
+    demo_observations: Sequence,
+    episode_keypoints: Sequence[int],
+    description: str,
+    cameras: Sequence[str],
+    scene_bounds: Sequence[float],
+    voxel_size: int,
+    rotation_resolution: int,
+    which_arm: str,
+    lang_encoder: Optional[Callable] = None,
+    labels: Optional[Sequence[int]] = None,
+    dominant_assistive_arm: str = "",
+    crop_target_obj_voxel: bool = False,
+    crop_radius=0.3,
+    arm_pred_loss: bool = False,
+    arm_id_to_proprio: bool = False,
+    episode_length: int = 25,
+    task_id: int = 0,
+    task_name: str = "",
+) -> int:
+    """Insert one episode's keyframe transitions; returns the number inserted."""
+    if lang_encoder is not None:
+        sentence_emb, token_embs = lang_encoder(description)
+    else:
+        sentence_emb = np.zeros((1, 1024), np.float32)
+        token_embs = np.zeros((1, 77, 512), np.float32)
+
+    obs = demo_observations[0]
+    n_added = 0
+    for k, keypoint in enumerate(episode_keypoints):
+        obs_tp1 = demo_observations[keypoint]
+        obs_tm1 = demo_observations[max(0, keypoint - 1)]
+
+        bounds = list(scene_bounds)
+        if crop_target_obj_voxel:
+            # per-keyframe crop bounds from the VLM-tagged object position
+            # (launch_utils.py:341-347); 'auto' uses the episode's stored radius
+            target = np.asarray(obs_tp1.target_object_pos)
+            radius = (obs_tp1.auto_crop_radius
+                      if crop_radius == "auto" and
+                      getattr(obs_tp1, "auto_crop_radius", 0.0) != 0.0
+                      else (0.3 if crop_radius == "auto" else crop_radius))
+            bounds = scene_bounds_from_crop_np(radius, target)
+
+        arm = dominant_assistive_arm or (
+            "right" if which_arm in ("right", "multiarm") else "left"
+        )
+        if which_arm == "multiarm" and labels is not None:
+            arm = "right" if labels[k] == 0 else "left"
+
+        trans, rot_grip, ignore_coll, action = discretize_keyframe(
+            obs_tp1, obs_tm1, bounds, voxel_size, rotation_resolution, arm)
+
+        terminal = k == len(episode_keypoints) - 1
+        reward = REWARD_SCALE if terminal else 0.0
+
+        keypoint_label = labels[k] if (labels is not None and
+                                       (arm_id_to_proprio or arm_pred_loss)) else None
+        obs_dict = extract_obs(
+            obs, cameras, t=k, episode_length=episode_length,
+            which_arm=which_arm,
+            keypoint_label=keypoint_label if arm_id_to_proprio else None,
+        )
+
+        transition = {
+            **obs_dict,
+            "trans_action_indicies": trans,
+            "rot_grip_action_indicies": rot_grip,
+            "ignore_collisions": [ignore_coll],
+            "gripper_pose": getattr(obs_tp1, f"gripper_{arm}_pose"),
+            "lang_goal_emb": sentence_emb[0],
+            "lang_token_embs": token_embs[0],
+            "reward": reward,
+            "terminal": terminal,
+            "timeout": False,
+            "demo": True,
+            "task_id": task_id,
+        }
+        if crop_target_obj_voxel:
+            transition["target_object_scene_bounds"] = np.asarray(bounds, np.float32)
+        if arm_pred_loss and labels is not None:
+            transition["label"] = [labels[k]]
+        if which_arm == "both":
+            other = "left" if arm == "right" else "right"
+            t2, rg2, _, _ = discretize_keyframe(
+                obs_tp1, obs_tm1, bounds, voxel_size, rotation_resolution, other)
+            transition["trans_action_indicies_left"] = t2 if other == "left" else trans
+            transition["rot_grip_action_indicies_left"] = rg2 if other == "left" else rot_grip
+            transition["gripper_pose_left"] = getattr(
+                obs_tp1, "gripper_left_pose")
+
+        replay.add(transition)
+        n_added += 1
+        obs = obs_tp1
+    return n_added
+
+
+def fill_replay(
+    replay: UniformReplayBuffer,
+    demos: Sequence,  # LoadedDemo-like: .observations + .descriptions
+    cameras: Sequence[str],
+    scene_bounds: Sequence[float],
+    voxel_size: int,
+    rotation_resolution: int,
+    which_arm: str,
+    lang_encoder: Optional[Callable] = None,
+    keypoint_cfg: Optional[KeypointConfig] = None,
+    dominant_assistive_arm_fn: Optional[Callable] = None,
+    task_id: int = 0,
+    task_name: str = "",
+    **kwargs,
+) -> int:
+    """launch_utils.py:491-596: keypoint discovery + keyframe insertion per demo."""
+    keypoint_cfg = keypoint_cfg or KeypointConfig()
+    total = 0
+    for demo in demos:
+        observations = demo.observations
+        description = demo.descriptions[0] if demo.descriptions else ""
+        da_arm = ""
+        if which_arm in ("dominant", "assistive"):
+            da_arm = (dominant_assistive_arm_fn(demo)
+                      if dominant_assistive_arm_fn else "right")
+            if which_arm == "assistive":
+                da_arm = "left" if da_arm == "right" else "right"
+        result = keypoint_discovery(
+            observations, which_arm=which_arm,
+            dominant_assistive_arm=da_arm, cfg=keypoint_cfg,
+        )
+        keypoints, labels = (result if isinstance(result, tuple)
+                             else (result, None))
+        total += add_keypoints_to_replay(
+            replay, observations, keypoints, description, cameras,
+            scene_bounds, voxel_size, rotation_resolution, which_arm,
+            lang_encoder=lang_encoder, labels=labels,
+            dominant_assistive_arm=da_arm, task_id=task_id,
+            task_name=task_name, **kwargs,
+        )
+    return total
+
+
+def fill_multi_task_replay(replay, task_demos: Dict[str, Sequence],
+                           max_workers: int = 8, **common) -> Dict[str, int]:
+    """One worker per task filling the shared (lock-protected) buffer
+    (launch_utils.py:598-660's process pool, without the pickling)."""
+    results: Dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = {
+            pool.submit(
+                fill_replay, replay, demos, task_id=i, task_name=name, **common
+            ): name
+            for i, (name, demos) in enumerate(task_demos.items())
+        }
+        for fut, name in futures.items():
+            results[name] = fut.result()
+    return results

@@ -113,11 +113,21 @@ def extract_obs(
     out["ignore_collisions"] = np.array([obs.ignore_collisions], np.float32)
 
     for cam in cameras:
-        out[f"{cam}_rgb"] = np.asarray(obs.rgb[cam])
-        out[f"{cam}_point_cloud"] = np.asarray(obs.point_cloud[cam], np.float32)
+        # accept both layouts: BimanualObservation dicts (obs.rgb["wrist"]) and
+        # RLBench-style flat attributes (obs.wrist_rgb) from unpickled demos
+        rgb_dict = getattr(obs, "rgb", None)
+        if isinstance(rgb_dict, dict) and cam in rgb_dict:
+            out[f"{cam}_rgb"] = np.asarray(rgb_dict[cam])
+            out[f"{cam}_point_cloud"] = np.asarray(
+                obs.point_cloud[cam], np.float32)
+        else:
+            out[f"{cam}_rgb"] = np.asarray(getattr(obs, f"{cam}_rgb"))
+            out[f"{cam}_point_cloud"] = np.asarray(
+                getattr(obs, f"{cam}_point_cloud"), np.float32)
+        misc = getattr(obs, "misc", {})
         for suffix in ("extrinsics", "intrinsics"):
             key = f"{cam}_camera_{suffix}"
-            if key in obs.misc:
-                out[key] = np.asarray(obs.misc[key], np.float32)
+            if key in misc:
+                out[key] = np.asarray(misc[key], np.float32)
 
     return out
