@@ -26,6 +26,14 @@ N_CHAIN = 64
 
 def main():
     import jax
+
+    # persist compiled executables across bench runs (remote compiles via the axon
+    # relay take many minutes; the cache drops reruns to seconds when supported)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/voxactb_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from voxactb_tpu.agents.qfunction import build_encoder, make_infer_fn

@@ -93,6 +93,7 @@ class MethodConfig:
     # TPU-native extras (no reference counterpart)
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-optimal training/inference
     remat: bool = False             # jax.checkpoint the perceiver trunk
+    fused_upsample: bool = True     # phase-decomposed decoder upsample-conv
 
     @property
     def voxel_size(self) -> int:

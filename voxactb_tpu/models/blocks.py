@@ -83,26 +83,42 @@ class Conv3DUpsample(nn.Module):
     """conv -> trilinear x``strides`` upsample -> conv (network_utils.py:237-254).
 
     Trilinear resize with half-pixel centers == torch ``align_corners=False``.
+
+    ``fast=True`` computes the (upsample -> conv) pair with the phase-decomposed
+    composition (ops/upsample_conv.py): identical math in the interior, ~4.6x fewer
+    FLOPs in an MXU-shaped contraction, approximate at the outermost border voxels.
     """
 
     features: int
     strides: int
     kernel_size: int = 3
     activation: Optional[str] = None
+    fast: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = Conv3D(self.features, self.kernel_size, 1, self.activation, self.dtype)(x)
-        if self.strides > 1:
-            b, d, h, w, c = x.shape
-            x = jax.image.resize(
-                x,
-                (b, d * self.strides, h * self.strides, w * self.strides, c),
-                method="trilinear",
-            )
-        x = Conv3D(self.features, self.kernel_size, 1, self.activation, self.dtype)(x)
-        return x
+        from voxactb_tpu.ops.upsample_conv import (
+            reference_upsample_conv,
+            upsample_conv,
+        )
+
+        x = Conv3D(self.features, self.kernel_size, 1, self.activation, self.dtype,
+                   name="conv_in")(x)
+        if self.strides <= 1:
+            return Conv3D(self.features, self.kernel_size, 1, self.activation,
+                          self.dtype, name="conv_out")(x)
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "out_kernel", _kernel_init(self.activation),
+            (self.kernel_size,) * 3 + (cin, self.features),
+        )
+        bias = self.param("out_bias", nn.initializers.zeros, (self.features,))
+        op = upsample_conv if self.fast else reference_upsample_conv
+        y = op(x.astype(self.dtype), kernel.astype(self.dtype),
+               bias.astype(self.dtype), self.strides)
+        return act_fn(self.activation)(y).astype(self.dtype)
 
 
 class DenseBlock(nn.Module):

@@ -154,6 +154,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
     arm_pred: bool = False
     num_proprio: int = 1
     two_arm_heads: bool = False
+    fused_upsample: bool = True  # phase-decomposed upsample-conv (ops/upsample_conv)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -268,7 +269,8 @@ class PerceiverVoxelLangEncoder(nn.Module):
         # upsample + skip connection + final conv (perceiver_lang_io.py:454-462)
         u0 = Conv3DUpsample(
             self.final_dim, self.voxel_patch_stride, self.voxel_patch_size,
-            self.activation, self.dtype, name="up0",
+            self.activation, fast=self.fused_upsample, dtype=self.dtype,
+            name="up0",
         )(grid)
 
         if self.no_skip_connection:

@@ -1,0 +1,5 @@
+"""VoxPoser-style LLM planning subsystem: value maps, greedy planner, LMP executor."""
+
+from voxactb_tpu.voxposer.planner import GreedyPathPlanner, PlannerConfig  # noqa: F401
+from voxactb_tpu.voxposer.value_maps import VoxelMapSpec  # noqa: F401
+from voxactb_tpu.voxposer.heuristics import determine_dominant_hand  # noqa: F401

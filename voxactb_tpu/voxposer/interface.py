@@ -1,0 +1,183 @@
+"""The voxel value-map API exposed to LMP-generated code + waypoint execution.
+
+Counterpart of ``LMP_interface`` (peract/voxposer/interfaces.py:15-530) and the
+waypoint half of ``Controller`` (controllers.py:11-102): generated code calls
+``detect`` / map factories / ``execute``; ``execute`` builds cost maps, runs the
+greedy planner and walks the end effector of the commanded arm along the path.
+The heuristic pushing-dynamics MPC (controllers.py:103+) applies to object-centric
+motion only, which none of the four VoxAct-B tasks use at policy level; the hook
+(``object_centric=True``) plans in-plane paths and raises on execution for now.
+
+``VoxPoserPlanner.plan`` adapts the whole stack to the rollout generator's
+``voxposer_only`` branch (yields (9-DoF action, arm) pairs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from voxactb_tpu.envs.base import BimanualEnv
+from voxactb_tpu.voxposer.lmp import LMP, LMPConfig, LLMBackend
+from voxactb_tpu.voxposer.planner import GreedyPathPlanner, PlannerConfig
+from voxactb_tpu.voxposer.value_maps import VoxelMapSpec, set_voxel_by_radius
+
+EE_ALIAS = ("ee", "endeffector", "end_effector", "end effector", "gripper",
+            "hand", "right hand", "left hand")
+
+
+@dataclass
+class DetectedObject:
+    name: str
+    position: np.ndarray           # world frame
+    normals: Optional[np.ndarray] = None
+    aabb: Optional[np.ndarray] = None
+
+
+class LMPInterface:
+    """What the generated code sees (interfaces.py:42-314)."""
+
+    def __init__(self, env: BimanualEnv, spec: VoxelMapSpec,
+                 object_lookup: Callable[[str], DetectedObject],
+                 planner: Optional[GreedyPathPlanner] = None,
+                 arm: str = "right", execute_in_env: bool = True):
+        self._env = env
+        self._spec = spec
+        self._lookup = object_lookup
+        self._planner = planner or GreedyPathPlanner(map_size=spec.map_size)
+        self._arm = arm
+        self._execute_in_env = execute_in_env
+        self.executed_paths: List[np.ndarray] = []
+        self.planned_actions: List[np.ndarray] = []
+
+    # -- API surface for generated code --------------------------------------------
+
+    def detect(self, name: str) -> DetectedObject:
+        return self._lookup(name)
+
+    def get_empty_affordance_map(self):
+        return self._spec.affordance_map()
+
+    def get_empty_avoidance_map(self):
+        return self._spec.avoidance_map()
+
+    def get_empty_rotation_map(self):
+        return self._spec.rotation_map()
+
+    def get_default_velocity_map(self):
+        return self._spec.velocity_map()
+
+    def get_default_gripper_map(self):
+        return self._spec.gripper_map()
+
+    def cm2index(self, cm, direction=None):
+        return self._spec.cm2index(cm, direction)
+
+    def pointat2index(self, point):
+        return self._spec.world_to_voxel(point)
+
+    def index2point(self, idx):
+        return self._spec.voxel_to_world(idx)
+
+    def set_voxel_by_radius(self, voxel_map, center_idx, radius_cm=0.0, value=1.0):
+        return set_voxel_by_radius(voxel_map, center_idx, radius_cm, self._spec,
+                                   value)
+
+    def execute(self, movable, affordance_map, avoidance_map=None,
+                rotation_map=None, velocity_map=None, gripper_map=None,
+                start_position=None) -> List[np.ndarray]:
+        """Plan through the value maps and walk the arm's EE along the path
+        (interfaces.py:85-242 condensed to the EE-motion case)."""
+        name = (movable.name if isinstance(movable, DetectedObject)
+                else str(movable)).lower()
+        object_centric = name not in EE_ALIAS
+        if object_centric:
+            raise NotImplementedError(
+                "object-centric (pushing) execution needs the dynamics model; "
+                "VoxAct-B's tasks drive the end effector only")
+
+        if avoidance_map is None:
+            avoidance_map = self._spec.avoidance_map()
+        if rotation_map is None:
+            rotation_map = self._spec.rotation_map()
+        if gripper_map is None:
+            gripper_map = self._spec.gripper_map()
+
+        if start_position is None:
+            pose = self._ee_pose()
+            start_position = pose[:3]
+        start_idx = self._spec.world_to_voxel(start_position)
+
+        path, _info = self._planner.optimize(
+            start_idx.astype(np.float64), affordance_map, avoidance_map)
+        self.executed_paths.append(path)
+
+        actions = []
+        for wp in path:
+            i = np.round(wp).clip(0, self._spec.map_size - 1).astype(int)
+            pos = self._spec.voxel_to_world(wp)
+            quat = rotation_map[i[0], i[1], i[2]]
+            grip = gripper_map[i[0], i[1], i[2]]
+            action = np.concatenate(
+                [pos, quat, [float(grip)], [1.0]]).astype(np.float32)
+            actions.append(action)
+            if self._execute_in_env:
+                self._env.step(action, self._arm)
+        self.planned_actions.extend(actions)
+        return actions
+
+    def _ee_pose(self) -> np.ndarray:
+        obs = getattr(self._env, "_observation", None)
+        if callable(obs):
+            o = obs()
+            key = f"gripper_{self._arm}_pose"
+            if key in o:
+                return np.asarray(o[key], np.float32)
+        return np.concatenate([self._spec.mins + (self._spec.maxs -
+                                                  self._spec.mins) / 2, [0, 0, 0, 1]])
+
+
+class VoxPoserPlanner:
+    """voxposer_only rollouts: LMP stack -> per-arm EE paths -> env actions.
+
+    Plugs into RolloutGenerator's ``planner`` hook (rollout_generator.py:66-130).
+    """
+
+    def __init__(self, backend: LLMBackend, spec: VoxelMapSpec,
+                 object_lookup: Callable[[str], DetectedObject],
+                 lmp_cfg: Optional[LMPConfig] = None,
+                 cache_dir: str = "/tmp/voxactb_llm_cache"):
+        self._spec = spec
+        self._lookup = object_lookup
+        self._backend = backend
+        self._lmp_cfg = lmp_cfg or LMPConfig()
+        self._cache_dir = cache_dir
+
+    def plan(self, env: BimanualEnv, obs) -> Iterable[Tuple[np.ndarray, str]]:
+        goal = obs.get("lang_goal", "") if isinstance(obs, dict) else ""
+        for arm in ("left", "right"):
+            # plan only — the rollout generator owns env stepping
+            iface = LMPInterface(env, self._spec, self._lookup, arm=arm,
+                                 execute_in_env=False)
+            lmp = LMP(
+                f"planner_{arm}", self._lmp_cfg, self._backend,
+                variable_vars={
+                    "detect": iface.detect,
+                    "execute": iface.execute,
+                    "get_empty_affordance_map": iface.get_empty_affordance_map,
+                    "get_empty_avoidance_map": iface.get_empty_avoidance_map,
+                    "get_empty_rotation_map": iface.get_empty_rotation_map,
+                    "get_default_velocity_map": iface.get_default_velocity_map,
+                    "get_default_gripper_map": iface.get_default_gripper_map,
+                    "cm2index": iface.cm2index,
+                    "pointat2index": iface.pointat2index,
+                    "set_voxel_by_radius": iface.set_voxel_by_radius,
+                    "np": np,
+                },
+                cache_dir=self._cache_dir,
+            )
+            lmp(f"{goal} ({arm} hand)")
+            for action in iface.planned_actions:
+                yield action, arm
