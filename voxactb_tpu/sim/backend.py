@@ -1,0 +1,168 @@
+"""Simulator backend protocol + the kinematic reference implementation.
+
+Plays the role PyRep plays for RLBench (SURVEY §1 L0): scene objects with poses,
+two arms with grippers, proximity/grasp queries, camera rendering, stepping. The
+``KinematicBackend`` is deliberately dynamics-free — arms move along interpolated
+paths, grasped objects ride the gripper — which is exactly enough for waypoint-scripted
+demo generation, observation streams and success conditions without a physics engine.
+"""
+
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from voxactb_tpu.ops import geometry as G
+
+ARMS = ("right", "left")
+
+
+@dataclass
+class SceneObject:
+    name: str
+    position: np.ndarray                     # [3]
+    quaternion: np.ndarray = field(
+        default_factory=lambda: np.array([0, 0, 0, 1.0]))  # xyzw
+    size: np.ndarray = field(default_factory=lambda: np.full(3, 0.04))
+    color: Tuple[float, float, float] = (0.8, 0.2, 0.2)
+    static: bool = False
+    grasped_by: Optional[str] = None         # arm name when held
+
+    def aabb(self) -> np.ndarray:
+        half = self.size / 2
+        return np.concatenate([self.position - half, self.position + half])
+
+
+@dataclass
+class ArmState:
+    tcp_position: np.ndarray
+    tcp_quaternion: np.ndarray = field(
+        default_factory=lambda: np.array([0, 0, 0, 1.0]))
+    gripper_open: float = 1.0
+    joint_velocity_norm: float = 0.0          # drives keypoint 'stopped' heuristics
+    base_position: np.ndarray = field(default_factory=lambda: np.zeros(3))
+
+
+class SimBackend(abc.ABC):
+    """What Scene/Task/ActionMode layers require of a simulator."""
+
+    @abc.abstractmethod
+    def add_object(self, obj: SceneObject) -> None: ...
+
+    @abc.abstractmethod
+    def get_object(self, name: str) -> SceneObject: ...
+
+    @abc.abstractmethod
+    def remove_all_objects(self) -> None: ...
+
+    @abc.abstractmethod
+    def arm(self, which: str) -> ArmState: ...
+
+    @abc.abstractmethod
+    def move_arm_towards(self, which: str, position, quaternion,
+                         max_step: float) -> bool:
+        """One control tick toward a pose; True when reached."""
+
+    @abc.abstractmethod
+    def set_gripper(self, which: str, open_amount: float) -> None: ...
+
+    @abc.abstractmethod
+    def step(self) -> None: ...
+
+
+class KinematicBackend(SimBackend):
+    workspace = np.array([-0.45, -0.6, 0.55, 0.65, 0.6, 1.5], np.float32)
+
+    def __init__(self, seed: int = 0):
+        self._objects: Dict[str, SceneObject] = {}
+        self._arms = {
+            "right": ArmState(np.array([0.35, -0.35, 1.1]),
+                              base_position=np.array([0.1, -0.55, 0.75])),
+            "left": ArmState(np.array([0.35, 0.35, 1.1]),
+                             base_position=np.array([0.1, 0.55, 0.75])),
+        }
+        self.rng = np.random.default_rng(seed)
+        self.time = 0
+
+    # -- objects ---------------------------------------------------------------------
+
+    def add_object(self, obj: SceneObject) -> None:
+        self._objects[obj.name] = obj
+
+    def get_object(self, name: str) -> SceneObject:
+        return self._objects[name]
+
+    def has_object(self, name: str) -> bool:
+        return name in self._objects
+
+    def object_names(self) -> List[str]:
+        return list(self._objects)
+
+    def remove_all_objects(self) -> None:
+        self._objects.clear()
+
+    # -- arms ------------------------------------------------------------------------
+
+    def arm(self, which: str) -> ArmState:
+        return self._arms[which]
+
+    def reset_arms(self) -> None:
+        self._arms["right"].tcp_position = np.array([0.35, -0.35, 1.1])
+        self._arms["left"].tcp_position = np.array([0.35, 0.35, 1.1])
+        for a in self._arms.values():
+            a.tcp_quaternion = np.array([0.0, 0.0, 0.0, 1.0])
+            a.gripper_open = 1.0
+            a.joint_velocity_norm = 0.0
+            # release anything held
+        for o in self._objects.values():
+            o.grasped_by = None
+
+    def move_arm_towards(self, which: str, position, quaternion,
+                         max_step: float = 0.05) -> bool:
+        a = self._arms[which]
+        target = np.asarray(position, np.float64)
+        delta = target - a.tcp_position
+        dist = float(np.linalg.norm(delta))
+        if dist <= max_step:
+            a.tcp_position = target.copy()
+            a.joint_velocity_norm = dist / max(max_step, 1e-9)
+        else:
+            a.tcp_position = a.tcp_position + delta / dist * max_step
+            a.joint_velocity_norm = 1.0
+        a.tcp_quaternion = G.normalize_quaternion(
+            np.asarray(quaternion, np.float64))
+        self._carry_grasped(which)
+        return dist <= max_step
+
+    def set_gripper(self, which: str, open_amount: float) -> None:
+        a = self._arms[which]
+        a.gripper_open = float(np.clip(open_amount, 0.0, 1.0))
+        if a.gripper_open < 0.5:
+            # close: grab the nearest free object within grasp range
+            for o in sorted(self._objects.values(),
+                            key=lambda o: np.linalg.norm(
+                                o.position - a.tcp_position)):
+                if o.static or o.grasped_by:
+                    continue
+                if np.linalg.norm(o.position - a.tcp_position) < 0.06:
+                    o.grasped_by = which
+                    break
+        else:
+            for o in self._objects.values():
+                if o.grasped_by == which:
+                    o.grasped_by = None
+
+    def _carry_grasped(self, which: str) -> None:
+        a = self._arms[which]
+        for o in self._objects.values():
+            if o.grasped_by == which:
+                o.position = a.tcp_position.copy()
+
+    def step(self) -> None:
+        self.time += 1
+        # decay stopped-ness when no command arrives
+        for a in self._arms.values():
+            a.joint_velocity_norm *= 0.5

@@ -1,0 +1,93 @@
+"""Task success conditions.
+
+Counterpart of RLBench's condition set (rlbench/backend/conditions.py —
+``DetectedCondition`` via ProximitySensor, ``GraspedCondition``,
+``ConditionSet``; used e.g. at open_jar.py:86-90).
+"""
+
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import numpy as np
+
+from voxactb_tpu.sim.backend import SimBackend
+
+
+class Condition(abc.ABC):
+    @abc.abstractmethod
+    def satisfied(self, backend: SimBackend) -> bool: ...
+
+
+@dataclass
+class DetectedCondition(Condition):
+    """Object center inside an axis-aligned sensor region."""
+
+    object_name: str
+    region_center: np.ndarray
+    region_half_extent: np.ndarray
+    negated: bool = False
+
+    def satisfied(self, backend: SimBackend) -> bool:
+        p = backend.get_object(self.object_name).position
+        inside = bool(np.all(np.abs(p - self.region_center)
+                             <= self.region_half_extent))
+        return inside != self.negated
+
+
+@dataclass
+class GraspedCondition(Condition):
+    object_name: str
+    arm: str  # 'right' | 'left' | 'any'
+
+    def satisfied(self, backend: SimBackend) -> bool:
+        holder = backend.get_object(self.object_name).grasped_by
+        return holder == self.arm if self.arm != "any" else holder is not None
+
+
+@dataclass
+class NothingGraspedCondition(Condition):
+    arm: str
+
+    def satisfied(self, backend: SimBackend) -> bool:
+        return all(o.grasped_by != self.arm
+                   for o in map(backend.get_object, backend.object_names()))
+
+
+@dataclass
+class ObjectAboveCondition(Condition):
+    """e.g. lid lifted off the jar."""
+
+    object_name: str
+    min_height: float
+
+    def satisfied(self, backend: SimBackend) -> bool:
+        return backend.get_object(self.object_name).position[2] >= self.min_height
+
+
+@dataclass
+class ObjectDisplacedCondition(Condition):
+    """Object moved from its registered start by at least ``min_distance``
+    along ``axis`` (or euclidean when axis is None)."""
+
+    object_name: str
+    start_position: np.ndarray
+    min_distance: float
+    axis: int = -1  # -1 => euclidean
+
+    def satisfied(self, backend: SimBackend) -> bool:
+        p = backend.get_object(self.object_name).position
+        if self.axis < 0:
+            return float(np.linalg.norm(p - self.start_position)) >= self.min_distance
+        return abs(float(p[self.axis] - self.start_position[self.axis])) \
+            >= self.min_distance
+
+
+class ConditionSet(Condition):
+    def __init__(self, conditions: Sequence[Condition], order_matters: bool = False):
+        self._conditions = list(conditions)
+
+    def satisfied(self, backend: SimBackend) -> bool:
+        return all(c.satisfied(backend) for c in self._conditions)
