@@ -1,8 +1,8 @@
-"""Stage-wise latency ablation of the fused act program on the real chip.
+"""Standalone-op latency profile of the fused act program's building blocks.
 
-Times cumulative pipeline prefixes (each chained 16x on device in one scan, fetch
-once) to locate the hotspot: voxelize | +preproc/patchify | +attention | +decoder
-trunk | full. Run standalone: python tools/profile_stages.py
+Times each hot op in isolation (chained 16x on device in one scan, fetched once) at
+the canonical 100^3 / bf16 operating point, plus alternative formulations of the
+convolutions, to locate and fix the hotspot. Run: python tools/profile_stages.py
 """
 
 import json
@@ -15,100 +15,127 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 N_CHAIN = 16
+N = 100
+S = 20  # patch grid
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    from flax import linen as nn
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/voxactb_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
 
-    from voxactb_tpu.agents.qfunction import build_encoder
-    from voxactb_tpu.config import MethodConfig
-    from voxactb_tpu.models.blocks import Conv3D, spatial_softmax_3d, global_max_pool_3d
+    from voxactb_tpu.models.blocks import spatial_softmax_3d
+    from voxactb_tpu.ops.upsample_conv import upsample_conv
     from voxactb_tpu.ops.voxelize import voxelize
 
-    cfg = MethodConfig(voxel_sizes=[100], which_arm="right",
-                       compute_dtype="bfloat16")
-    model = build_encoder(cfg)
-    n = 100
-
     rng = np.random.default_rng(0)
-    b, img = 1, 128
-    rgbs = jnp.asarray(
-        rng.integers(0, 255, (N_CHAIN, 2, b, img, img, 3)).astype(np.float32))
-    pcds = jnp.asarray(
-        rng.uniform(-0.5, 1.5, (N_CHAIN, 2, b, img, img, 3)).astype(np.float32))
-    proprio = jnp.asarray(rng.normal(size=(b, 4)).astype(np.float32))
-    lang_goal = jnp.asarray(rng.normal(size=(b, 1024)).astype(np.float32))
-    lang_tok = jnp.asarray(rng.normal(size=(b, 77, 512)).astype(np.float32))
-    bounds = jnp.asarray([[-0.8, -1.0, 0.1, 1.2, 1.0, 2.1]], jnp.float32)
+    bf = jnp.bfloat16
 
-    params = model.init(
-        jax.random.key(0), jnp.zeros((b, n, n, n, 10)), proprio, lang_goal,
-        lang_tok)
+    grid10 = jnp.asarray(rng.normal(size=(N_CHAIN, 1, N, N, N, 10)).astype(
+        np.float32), bf)
+    d0 = jnp.asarray(rng.normal(size=(N_CHAIN, 1, N, N, N, 64)).astype(
+        np.float32), bf)
+    cat128 = jnp.asarray(rng.normal(size=(N_CHAIN, 1, N, N, N, 128)).astype(
+        np.float32), bf)
+    small = jnp.asarray(rng.normal(size=(N_CHAIN, 1, S, S, S, 128)).astype(
+        np.float32), bf)
+    seq = jnp.asarray(rng.normal(size=(N_CHAIN, 1, 8077, 128)).astype(
+        np.float32), bf)
 
-    def vox(rgb, pcd):
-        coords = pcd.reshape(b, -1, 3)
-        feats = ((rgb / 255.0) * 2.0 - 1.0).reshape(b, -1, 3)
-        return voxelize(coords, feats, bounds, voxel_size=n)
+    k1 = jnp.asarray(rng.normal(size=(1, 1, 1, 10, 64)).astype(np.float32) * .1, bf)
+    k5s5 = jnp.asarray(rng.normal(size=(5, 5, 5, 64, 64)).astype(np.float32) * .1, bf)
+    k3 = jnp.asarray(rng.normal(size=(3, 3, 3, 128, 64)).astype(np.float32) * .1, bf)
+    k3_1 = jnp.asarray(rng.normal(size=(3, 3, 3, 64, 1)).astype(np.float32) * .1, bf)
+    k5up = jnp.asarray(rng.normal(size=(5, 5, 5, 128, 64)).astype(np.float32) * .1, bf)
+    bias64 = jnp.zeros((64,), bf)
 
-    def full(rgb, pcd):
-        out = model.apply(params, vox(rgb, pcd), proprio, lang_goal, lang_tok)
-        return out["trans"].reshape(-1).max() + out["rot_grip"].sum()
+    latents = jnp.asarray(rng.normal(size=(2048, 512)).astype(np.float32) * .1, bf)
+    wq = jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32) * .05, bf)
+    wkv = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32) * .05, bf)
 
-    # partial applications of the SAME weights via flax module surgery
-    def stage_preproc(rgb, pcd):
-        grid = vox(rgb, pcd).astype(jnp.bfloat16)
-        d0 = model.bind(params).input_preprocess(grid)
-        return d0.astype(jnp.float32).reshape(-1).max()
+    def conv3d(x, k, stride=1):
+        return jax.lax.conv_general_dilated(
+            x, k, (stride,) * 3, "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32).astype(bf)
 
-    def stage_patchify(rgb, pcd):
-        grid = vox(rgb, pcd).astype(jnp.bfloat16)
-        m = model.bind(params)
-        d0 = m.input_preprocess(grid)
-        ins = m.patchify(d0)
-        return ins.astype(jnp.float32).reshape(-1).max()
+    def conv3d_as_2d_zshift(x, k):
+        """k3 conv3d decomposed into 3 z-shifted 2D convs (D folded into batch)."""
+        b, d, h, w, cin = x.shape
+        cout = k.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        acc = jnp.zeros((b, d, h, w, cout), jnp.float32)
+        for dz in range(3):
+            sl = xp[:, dz:dz + d].reshape(b * d, h, w, cin)
+            y = jax.lax.conv_general_dilated(
+                sl, k[dz], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            acc = acc + y.reshape(b, d, h, w, cout)
+        return acc.astype(bf)
 
-    def stage_ss0(rgb, pcd):
-        grid = vox(rgb, pcd).astype(jnp.bfloat16)
-        m = model.bind(params)
-        d0 = m.input_preprocess(grid)
-        f = spatial_softmax_3d(d0)
-        g = global_max_pool_3d(d0)
-        return f.sum() + g.sum()
+    def attn_trunk(s):
+        # cross-attn (1 head, 64) + 6 self-attn layers + FFs, shapes only
+        x = jnp.broadcast_to(latents[None], (1, 2048, 512))
+        kv = jnp.einsum("bnd,de->bne", s, wkv, preferred_element_type=jnp.float32
+                        ).astype(bf)
+        sim = jnp.einsum("bid,bjd->bij", x[..., :128], kv,
+                         preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(sim, -1).astype(bf)
+        x = x + jnp.pad(jnp.einsum("bij,bjd->bid", a, kv,
+                                   preferred_element_type=jnp.float32
+                                   ).astype(bf), ((0, 0), (0, 0), (0, 384)))
+        for _ in range(6):
+            q = jnp.einsum("bnd,de->bne", x, wq,
+                           preferred_element_type=jnp.float32).astype(bf)
+            sim = jnp.einsum("bid,bjd->bij", q, q,
+                             preferred_element_type=jnp.float32)
+            a = jax.nn.softmax(sim, -1).astype(bf)
+            x = x + jnp.einsum("bij,bjd->bid", a, q,
+                               preferred_element_type=jnp.float32).astype(bf)
+            h = jnp.einsum("bnd,de->bne", x, wq,
+                           preferred_element_type=jnp.float32).astype(bf)
+            x = x + h
+        return x
 
+    # (input with leading N_CHAIN axis, op) — scan consumes a fresh slice per step so
+    # XLA cannot hoist the op out of the loop
     stages = {
-        "voxelize": lambda rgb, pcd: vox(rgb, pcd).reshape(-1).max(),
-        "vox+preproc1x1": stage_preproc,
-        "vox+preproc+ss0": stage_ss0,
-        "vox+preproc+patchify": stage_patchify,
-        "full": full,
+        "conv1x1_10->64@100": (grid10, lambda x: conv3d(x, k1)),
+        "patchify_k5s5@100": (d0, lambda x: conv3d(x, k5s5, stride=5)),
+        "ss0_softmax64@100": (d0, spatial_softmax_3d),
+        "globalmax@100": (d0, lambda x: jnp.max(x, axis=(1, 2, 3))),
+        "final_k3_conv3d@100": (cat128, lambda x: conv3d(x, k3)),
+        "final_k3_as_2d@100": (cat128, lambda x: conv3d_as_2d_zshift(x, k3)),
+        "trans_k3_64->1@100": (d0, lambda x: conv3d(x, k3_1)),
+        "fused_upsample20->100": (small, lambda x: upsample_conv(
+            x, k5up, bias64, 5)),
+        "attention_trunk": (seq, attn_trunk),
     }
 
     results = {}
-    for name, fn in stages.items():
-        def chained(rgbs, pcds, fn=fn):
-            def step(c, o):
-                return c, fn(*o)
-            _, ys = jax.lax.scan(step, 0, (rgbs, pcds))
+    for name, (inp, fn) in stages.items():
+        def chained(xs, f=fn):
+            def step(c, x):
+                y = f(x)
+                return c, jnp.sum(y.astype(jnp.float32))
+            _, ys = jax.lax.scan(step, 0, xs)
             return ys
 
         cfn = jax.jit(chained)
         t0 = time.time()
-        np.asarray(cfn(rgbs, pcds))  # compile+run
+        np.asarray(cfn(inp))
         compile_s = time.time() - t0
         t0 = time.time()
-        np.asarray(cfn(rgbs, pcds))
-        wall = time.time() - t0
-        per_step_ms = wall / N_CHAIN * 1000
+        np.asarray(cfn(inp))
+        per_step_ms = (time.time() - t0) / N_CHAIN * 1000
         results[name] = round(per_step_ms, 2)
-        print(json.dumps({"stage": name, "per_step_ms": per_step_ms,
+        print(json.dumps({"stage": name, "per_step_ms": results[name],
                           "compile_s": round(compile_s, 1)}), flush=True)
 
     print(json.dumps({"all": results}))
