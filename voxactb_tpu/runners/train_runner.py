@@ -86,26 +86,25 @@ class OfflineTrainRunner:
             logging.info("already trained to %d; nothing to do", start)
             return
 
-        data_iter = iter(self._dataset)
-        t_sample = t_step = 0.0
-        for i in range(start, self._training_iterations):
-            t0 = time.perf_counter()
-            batch = next(data_iter)
-            t_sample = time.perf_counter() - t0
+        from voxactb_tpu.utils.profiling import StepTimer, host_gauges
 
-            t0 = time.perf_counter()
-            result = self._agent.update(i, batch)
-            t_step = time.perf_counter() - t0
+        timer = StepTimer()
+        data_iter = iter(self._dataset)
+        for i in range(start, self._training_iterations):
+            with timer.time("sample"):
+                batch = next(data_iter)
+            with timer.time("step"):
+                result = self._agent.update(i, batch)
 
             if i % self._log_freq == 0:
                 loss = float(np.asarray(result["total_loss"]))
                 logging.info(
                     "train step %d | loss %.4f | sample %.3fs | step %.3fs",
-                    i, loss, t_sample, t_step,
+                    i, loss, timer.last("sample"), timer.last("step"),
                 )
                 summaries = self._agent.update_summaries()
-                self._writer.add_scalar(i, "train/sample_time", t_sample)
-                self._writer.add_scalar(i, "train/step_time", t_step)
+                for name, value in {**timer.summary(), **host_gauges()}.items():
+                    self._writer.add_scalar(i, f"train/{name}", value)
                 self._writer.add_summaries(i, summaries)
 
             if self._save_freq > 0 and i % self._save_freq == 0 and \
