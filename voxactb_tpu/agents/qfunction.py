@@ -65,6 +65,7 @@ def build_encoder(cfg: MethodConfig, low_dim_size: Optional[int] = None
         num_proprio=2 if two_heads else 1,
         two_arm_heads=two_heads,
         fused_upsample=cfg.fused_upsample,
+        pallas_stats=cfg.pallas_stats,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )
 

@@ -94,6 +94,7 @@ class MethodConfig:
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-optimal training/inference
     remat: bool = False             # jax.checkpoint the perceiver trunk
     fused_upsample: bool = True     # phase-decomposed decoder upsample-conv
+    pallas_stats: bool = False      # pallas fused softargmax+maxpool (TPU only)
 
     @property
     def voxel_size(self) -> int:

@@ -155,7 +155,17 @@ class PerceiverVoxelLangEncoder(nn.Module):
     num_proprio: int = 1
     two_arm_heads: bool = False
     fused_upsample: bool = True  # phase-decomposed upsample-conv (ops/upsample_conv)
+    pallas_stats: bool = False   # fused softargmax+maxpool kernel (TPU only)
     dtype: jnp.dtype = jnp.float32
+
+    def _stats(self, x):
+        """(spatial-softargmax keypoints, global max) — one fused pass on TPU."""
+        if self.pallas_stats:
+            from voxactb_tpu.ops.pallas.stats_head import stats_head
+
+            kp, gmax = stats_head(x)
+            return kp, gmax
+        return spatial_softmax_3d(x), global_max_pool_3d(x).astype(jnp.float32)
 
     @property
     def input_dim_before_seq(self) -> int:
@@ -185,7 +195,8 @@ class PerceiverVoxelLangEncoder(nn.Module):
         d0 = Conv3D(self.im_channels, 1, 1, self.activation, self.dtype,
                     name="input_preprocess")(x_in)
 
-        feats = [spatial_softmax_3d(d0), global_max_pool_3d(d0).astype(jnp.float32)]
+        kp0, gmax0 = self._stats(d0)
+        feats = [kp0, gmax0]
 
         # patchify (perceiver_lang_io.py:363)
         ins = Conv3D(self.im_channels, self.voxel_patch_size, self.voxel_patch_stride,
@@ -262,9 +273,8 @@ class PerceiverVoxelLangEncoder(nn.Module):
             b, spatial, spatial, spatial, dim
         )
 
-        feats.extend(
-            [spatial_softmax_3d(grid), global_max_pool_3d(grid).astype(jnp.float32)]
-        )
+        kp1, gmax1 = self._stats(grid)
+        feats.extend([kp1, gmax1])
 
         # upsample + skip connection + final conv (perceiver_lang_io.py:454-462)
         u0 = Conv3DUpsample(
@@ -287,10 +297,8 @@ class PerceiverVoxelLangEncoder(nn.Module):
 
         def mlp_heads(suffix: str):
             """ss_final/maxpool features -> dense stack -> rot+grip+collision logits."""
-            head_feats = feats + [
-                spatial_softmax_3d(u, ),
-                global_max_pool_3d(u).astype(jnp.float32),
-            ]
+            kpu, gmaxu = self._stats(u)
+            head_feats = feats + [kpu, gmaxu]
             cat = jnp.concatenate(head_feats, axis=1).astype(self.dtype)
             h0 = DenseBlock(256, self.activation, self.dtype, name=f"dense0{suffix}")(cat)
             h1 = DenseBlock(self.final_dim, self.activation, self.dtype,
