@@ -152,6 +152,29 @@ class OwlVitSamDetector:
         return masks[0, int(scores.argmax())].numpy().astype(bool)
 
 
+class JaxOwlVitSamDetector:
+    """TPU-native detector: JAX OWL-ViT box proposal + JAX SAM box-prompted mask.
+
+    The on-device counterpart of :class:`OwlVitSamDetector` — both towers are flax
+    modules (models/owlvit.py, models/sam_encoder.py + sam_decoder.py), so the whole
+    localization path runs under jit; weights are injected (OpenAI/Meta checkpoints
+    map on via the modules' ``load_torch_*`` importers).
+    """
+
+    def __init__(self, owl_pipeline, sam_segmenter, score_threshold: float = 0.1):
+        self._owl = owl_pipeline
+        self._sam = sam_segmenter
+        self._threshold = score_threshold
+        self._query_cache = {}
+
+    def __call__(self, rgb: np.ndarray, query: str) -> np.ndarray:
+        if query not in self._query_cache:
+            self._query_cache[query] = self._owl.embed_queries([query])
+        box, _score = self._owl.detect(rgb, self._query_cache[query],
+                                       self._threshold)
+        return self._sam.segment_box(rgb, box)
+
+
 class MaskLocalizer:
     """Detector backed by ground-truth segmentation masks (sim provides them)."""
 

@@ -94,9 +94,7 @@ class LMPInterface:
                 else str(movable)).lower()
         object_centric = name not in EE_ALIAS
         if object_centric:
-            raise NotImplementedError(
-                "object-centric (pushing) execution needs the dynamics model; "
-                "VoxAct-B's tasks drive the end effector only")
+            return self._execute_object_centric(movable, affordance_map)
 
         if avoidance_map is None:
             avoidance_map = self._spec.avoidance_map()
@@ -127,6 +125,28 @@ class LMPInterface:
                 self._env.step(action, self._arm)
         self.planned_actions.extend(actions)
         return actions
+
+    def _execute_object_centric(self, movable, affordance_map) -> List[np.ndarray]:
+        """Pushing motion via random-shooting MPC (controllers.py:103+)."""
+        from voxactb_tpu.voxposer.controller import RandomShootingMPC
+
+        obj = (movable if isinstance(movable, DetectedObject)
+               else self._lookup(str(movable)))
+        targets = np.argwhere(affordance_map == affordance_map.max())
+        target_world = self._spec.voxel_to_world(targets.mean(axis=0))
+        mpc = RandomShootingMPC()
+        radius = 0.03
+        if obj.aabb is not None:
+            radius = float(np.max(obj.aabb[3:] - obj.aabb[:3]) / 2)
+        contact, direction, dist = mpc.plan_push(
+            obj.position, radius, target_world)
+        if self._execute_in_env:
+            mpc.execute_push(self._env, self._arm, contact, direction, dist)
+        action = np.concatenate(
+            [contact + direction * dist, [0, 1, 0, 0], [0.0], [1.0]]
+        ).astype(np.float32)
+        self.planned_actions.append(action)
+        return [action]
 
     def _ee_pose(self) -> np.ndarray:
         obs = getattr(self._env, "_observation", None)
