@@ -81,7 +81,20 @@ def _kernel(x_ref, ex_ref, ey_ref, ez_ref, gmax_ref,
 def _stats_head_single(x_flat: jax.Array, *, n: int, interpret: bool = False):
     """x_flat [S=n^3, C] -> (ex, ey, ez, gmax) each [1, C] f32."""
     s, c = x_flat.shape
-    chunk = 2048 if s % 2048 == 0 else (1000 if s % 1000 == 0 else s)
+    # fewest grid steps with VMEM-sized blocks: largest divisor of S <= 16384 whose
+    # sublane count is a multiple of 8 (TPU block constraint). At N=100, S=10^6 ->
+    # chunk 10000 / 100 steps; small grids fall back to a single full-array block.
+    # Block sizing: mosaic's scoped-VMEM budget (16MB) bounds the ~8 f32 [chunk, C]
+    # temporaries, which caps chunks at ~2048 rows for C=64 (4000 rows OOMs at
+    # 21.3MB). Measured on the v5e relay: correct to 5e-6 vs the XLA path, but the
+    # resulting 500-step sequential grid loses to XLA's fused reductions there
+    # (15.1ms vs 11.2ms at N=100) — hence pallas_stats defaults to False; flip it on
+    # for hardware where grid-step overhead is lower.
+    chunk = s
+    for cand in range(min(s, 2048) // 8 * 8, 0, -8):
+        if s % cand == 0:
+            chunk = cand
+            break
     grid = s // chunk
 
     out_shape = [jax.ShapeDtypeStruct((1, c), jnp.float32)] * 4
