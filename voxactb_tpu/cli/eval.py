@@ -21,10 +21,22 @@ from voxactb_tpu.cli.train import parse_overrides
 
 
 def make_env(cfg, env=None):
-    """Environment factory: a provided env, an RLBench bridge when the sim stack is
-    importable, else the synthetic fake env (keeps eval runnable everywhere)."""
+    """Environment factory: a provided env; a built-in sim benchmark task when the
+    task name is registered; else the synthetic fake env."""
     if env is not None:
         return env
+    from voxactb_tpu.sim.tasks import TASK_REGISTRY
+
+    if cfg.rlbench.task_name in TASK_REGISTRY:
+        from voxactb_tpu.sim.environment import BimanualTaskEnvironment
+
+        return BimanualTaskEnvironment(
+            TASK_REGISTRY[cfg.rlbench.task_name],
+            cameras=cfg.rlbench.cameras,
+            image_size=cfg.rlbench.camera_resolution[0],
+            episode_length=cfg.rlbench.episode_length,
+            seed=cfg.seed,
+        )
     from voxactb_tpu.envs.fake_env import FakeBimanualEnv
 
     return FakeBimanualEnv(

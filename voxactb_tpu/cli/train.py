@@ -53,7 +53,28 @@ def build_replay_and_agent(cfg, lang_encoder=None, demos=None):
     replay = TaskUniformReplayBuffer(
         capacity=int(1e5), signature=sig, seed=cfg.seed)
 
-    if demos is None and cfg.rlbench.demo_path:
+    if demos is None and cfg.rlbench.demo_path == "sim":
+        # record scripted demos live from the built-in sim benchmark
+        # (the reference's get_demos(live_demos=True) path)
+        from voxactb_tpu.data.rlbench_format import LoadedDemo
+        from voxactb_tpu.sim.environment import SimEnvironment
+
+        sim = SimEnvironment(
+            cameras=cfg.rlbench.cameras,
+            image_size=cfg.rlbench.camera_resolution[0],
+            episode_length=cfg.rlbench.episode_length, seed=cfg.seed)
+        sim.launch()
+        demos = {}
+        for t in cfg.rlbench.tasks:
+            env = sim.get_task(t)
+            task_demos = []
+            for i in range(cfg.rlbench.demos):
+                frames, descriptions = env.get_demo(i)
+                task_demos.append(LoadedDemo(
+                    frames, descriptions, i % env.task.num_variations,
+                    f"sim:{t}:{i}", dominant_arm=env.dominant_arm()))
+            demos[t] = task_demos
+    elif demos is None and cfg.rlbench.demo_path:
         from voxactb_tpu.data.rlbench_format import DemoReader
 
         reader = DemoReader(cfg.rlbench.demo_path, cfg.rlbench.cameras)
@@ -79,7 +100,8 @@ def build_replay_and_agent(cfg, lang_encoder=None, demos=None):
             which_arm=m.which_arm,
             lang_encoder=lang_encoder,
             keypoint_cfg=kcfg,
-            dominant_assistive_arm_fn=lambda d: "right",
+            dominant_assistive_arm_fn=lambda d: getattr(
+                d, "dominant_arm", None) or "right",
             crop_target_obj_voxel=m.crop_target_obj_voxel,
             crop_radius=m.crop_radius,
             arm_pred_loss=m.arm_pred_loss,

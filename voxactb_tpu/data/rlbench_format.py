@@ -105,6 +105,7 @@ class LoadedDemo:
     descriptions: List[str]
     variation: int
     path: str
+    dominant_arm: Optional[str] = None  # ground truth when the source knows it
 
 
 class DemoReader:
