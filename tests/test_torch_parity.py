@@ -25,8 +25,7 @@ def test_conv3d_replicate_padding_matches_torch(rng):
     bias = rng.normal(size=(cout,)).astype(np.float32)
 
     m = Conv3D(cout, k, 1, activation=None)
-    params = {"params": {"Conv_0": {"kernel": jnp.asarray(w),
-                                    "bias": jnp.asarray(bias)}}}
+    params = {"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(bias)}}
     ours = np.asarray(m.apply(params, jnp.asarray(x)))
 
     tconv = torch.nn.Conv3d(cin, cout, k, padding=k // 2,
@@ -47,8 +46,7 @@ def test_strided_conv3d_matches_torch(rng):
     bias = np.zeros(cout, np.float32)
 
     m = Conv3D(cout, 5, 5, activation=None)
-    params = {"params": {"Conv_0": {"kernel": jnp.asarray(w),
-                                    "bias": jnp.asarray(bias)}}}
+    params = {"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(bias)}}
     ours = np.asarray(m.apply(params, jnp.asarray(x)))
 
     tconv = torch.nn.Conv3d(cin, cout, 5, stride=5, padding=2,
@@ -116,3 +114,16 @@ def test_spatial_softmax_matches_torch_reference_semantics(rng):
     ez = (torch.from_numpy(pz.reshape(-1)).float() * attn).sum(1)
     ref = torch.stack([ex, ey, ez], 1).reshape(-1, c * 3).numpy().reshape(c, 3)
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_zshift_decomposition_matches_plain_conv(rng):
+    """zshift_2d path == plain conv3d path on the same kernel."""
+    b, d, cin, cout = 1, 6, 4, 3
+    x = rng.normal(size=(b, d, d, d, cin)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, cin, cout)).astype(np.float32) * 0.2
+    bias = rng.normal(size=(cout,)).astype(np.float32)
+    params = {"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(bias)}}
+    plain = np.asarray(Conv3D(cout, 3, 1).apply(params, jnp.asarray(x)))
+    fast = np.asarray(Conv3D(cout, 3, 1, zshift_2d=True).apply(
+        params, jnp.asarray(x)))
+    np.testing.assert_allclose(fast, plain, atol=2e-5)

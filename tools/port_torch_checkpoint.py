@@ -35,10 +35,8 @@ def _np(t):
 
 def _conv3d(sd, key):
     return {
-        "Conv_0": {
-            "kernel": _np(sd[f"{key}.conv3d.weight"]).transpose(2, 3, 4, 1, 0),
-            "bias": _np(sd[f"{key}.conv3d.bias"]),
-        }
+        "kernel": _np(sd[f"{key}.conv3d.weight"]).transpose(2, 3, 4, 1, 0),
+        "bias": _np(sd[f"{key}.conv3d.bias"]),
     }
 
 

@@ -116,7 +116,7 @@ class LingUNetQNet(nn.Module):
         skips = []
         ch = self.base_channels
         for i in range(self.levels):
-            x = Conv3D(ch, 3, 1, self.activation, self.dtype, name=f"enc_{i}")(x)
+            x = Conv3D(ch, 3, 1, self.activation, dtype=self.dtype, name=f"enc_{i}")(x)
             skips.append(x)
             x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
             ch *= 2
@@ -126,7 +126,7 @@ class LingUNetQNet(nn.Module):
             [lang_goal_emb.astype(self.dtype), proprio.astype(self.dtype)], -1)
         gamma = nn.Dense(ch // 2, dtype=self.dtype, name="film_gamma")(cond)
         beta = nn.Dense(ch // 2, dtype=self.dtype, name="film_beta")(cond)
-        x = Conv3D(ch // 2, 3, 1, self.activation, self.dtype, name="bottleneck")(x)
+        x = Conv3D(ch // 2, 3, 1, self.activation, dtype=self.dtype, name="bottleneck")(x)
         x = x * (1 + gamma[:, None, None, None]) + beta[:, None, None, None]
 
         for i in reversed(range(self.levels)):
@@ -134,9 +134,9 @@ class LingUNetQNet(nn.Module):
             x = jax.image.resize(x, (b, d * 2, h * 2, w * 2, c), "nearest")
             x = jnp.concatenate([x, skips[i]], -1)
             x = Conv3D(max(self.base_channels, c // 2), 3, 1, self.activation,
-                       self.dtype, name=f"dec_{i}")(x)
+                       dtype=self.dtype, name=f"dec_{i}")(x)
 
-        q_trans = Conv3D(1, 3, 1, None, self.dtype, name="trans_head")(
+        q_trans = Conv3D(1, 3, 1, None, dtype=self.dtype, name="trans_head")(
             x).astype(jnp.float32)
         pooled = jnp.max(x, axis=(1, 2, 3)).astype(self.dtype)
         h = DenseBlock(128, self.activation, self.dtype, name="head_fc")(

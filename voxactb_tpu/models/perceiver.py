@@ -192,7 +192,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
         x_in = voxel_grid.astype(self.dtype)
 
         # 1x1x1 preprocess (perceiver_lang_io.py:357)
-        d0 = Conv3D(self.im_channels, 1, 1, self.activation, self.dtype,
+        d0 = Conv3D(self.im_channels, 1, 1, self.activation, dtype=self.dtype,
                     name="input_preprocess")(x_in)
 
         kp0, gmax0 = self._stats(d0)
@@ -200,7 +200,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
 
         # patchify (perceiver_lang_io.py:363)
         ins = Conv3D(self.im_channels, self.voxel_patch_size, self.voxel_patch_stride,
-                     self.activation, self.dtype, name="patchify")(d0)
+                     self.activation, dtype=self.dtype, name="patchify")(d0)
 
         # tile proprio stream(s) over the patch grid (perceiver_lang_io.py:370-373)
         if self.low_dim_size > 0:
@@ -283,15 +283,14 @@ class PerceiverVoxelLangEncoder(nn.Module):
             name="up0",
         )(grid)
 
+        final_conv = Conv3D(self.im_channels, 3, 1, self.activation,
+                            zshift_2d=True, dtype=self.dtype, name="final")
         if self.no_skip_connection:
-            u = Conv3D(self.im_channels, 3, 1, self.activation, self.dtype,
-                       name="final")(u0)
+            u = final_conv(u0)
         elif self.no_perceiver:
-            u = Conv3D(self.im_channels, 3, 1, self.activation, self.dtype,
-                       name="final")(d0)
+            u = final_conv(d0)
         else:
-            u = Conv3D(self.im_channels, 3, 1, self.activation, self.dtype,
-                       name="final")(jnp.concatenate([d0, u0], axis=-1))
+            u = final_conv(jnp.concatenate([d0, u0], axis=-1))
 
         out = {}
 
@@ -316,15 +315,18 @@ class PerceiverVoxelLangEncoder(nn.Module):
             # right + left heads off the shared trunk (perceiver_lang_io.py:828-858).
             # NOTE the reference computes ss_final per arm; we mirror that by calling
             # mlp_heads twice (each call makes its own ss_final params via name scope).
-            out["trans_right"] = Conv3D(1, 3, 1, None, self.dtype,
-                                        name="trans_decoder")(u).astype(jnp.float32)
+            out["trans_right"] = Conv3D(
+                1, 3, 1, None, zshift_2d=True, dtype=self.dtype,
+                name="trans_decoder")(u).astype(jnp.float32)
             _, out["rot_grip_right"], out["collision_right"] = mlp_heads("")
-            out["trans_left"] = Conv3D(1, 3, 1, None, self.dtype,
-                                       name="trans_decoder_left")(u).astype(jnp.float32)
+            out["trans_left"] = Conv3D(
+                1, 3, 1, None, zshift_2d=True, dtype=self.dtype,
+                name="trans_decoder_left")(u).astype(jnp.float32)
             _, out["rot_grip_left"], out["collision_left"] = mlp_heads("_left")
         else:
-            out["trans"] = Conv3D(1, 3, 1, None, self.dtype,
-                                  name="trans_decoder")(u).astype(jnp.float32)
+            out["trans"] = Conv3D(
+                1, 3, 1, None, zshift_2d=True, dtype=self.dtype,
+                name="trans_decoder")(u).astype(jnp.float32)
             cat, out["rot_grip"], out["collision"] = mlp_heads("")
             if self.arm_pred:
                 # arm-ID head (acting vs stabilizing), perceiver_lang_io.py:479-483
