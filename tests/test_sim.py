@@ -125,3 +125,36 @@ def test_validate_all_tasks():
     reports = validate_all(image_size=16)
     assert len(reports) == 4
     assert all(r["successes"] >= 1 for r in reports)
+
+
+def test_dataset_generator_roundtrip(tmp_path):
+    """sim scripted demos -> on-disk dataset -> DemoReader -> replay fill."""
+    import sys
+    sys.path.insert(0, "tools")
+    from dataset_generator import generate
+
+    from voxactb_tpu.data.fill_replay import fill_replay
+    from voxactb_tpu.data.rlbench_format import DemoReader
+    from voxactb_tpu.replay import TaskUniformReplayBuffer, bc_replay_signature
+
+    n = generate(str(tmp_path), ["open_jar"], episodes=2, image_size=16, seed=0)
+    assert n == 2
+
+    reader = DemoReader(str(tmp_path))
+    demos = reader.load("open_jar", amount=-1, variation=-1)
+    assert len(demos) == 2
+    o = demos[0].observations[0]
+    assert o.wrist_rgb.shape == (16, 16, 3)
+    assert o.wrist_point_cloud.shape == (16, 16, 3)
+    assert hasattr(o, "gripper_right_pose") and hasattr(o, "target_object_pos")
+
+    buf = TaskUniformReplayBuffer(
+        64, bc_replay_signature(["wrist", "wrist2"], (16, 16), low_dim_size=7,
+                                crop_target_obj_voxel=True))
+    filled = fill_replay(
+        buf, demos, ["wrist", "wrist2"], [-0.45, -0.6, 0.55, 0.65, 0.6, 1.5],
+        voxel_size=50, rotation_resolution=5, which_arm="dominant",
+        dominant_assistive_arm_fn=lambda d: "right",
+        crop_target_obj_voxel=True, crop_radius=0.3,
+    )
+    assert filled > 0 and buf.size == filled

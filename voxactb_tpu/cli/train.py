@@ -119,13 +119,28 @@ def build_replay_and_agent(cfg, lang_encoder=None, demos=None):
 
 
 def main(argv=None, demos=None, lang_encoder=None):
+    """Train one seed, or loop framework.seeds of them (train.py:95-105's per-seed
+    spawn collapses to a sequential loop — each seed is itself data-parallel over
+    all local devices via jit-over-Mesh)."""
     from voxactb_tpu.config import Config
-    from voxactb_tpu.replay.dataset import PrefetchIterator
-    from voxactb_tpu.runners.train_runner import OfflineTrainRunner
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     cfg = Config().override(**parse_overrides(argv or sys.argv[1:]))
+
+    if cfg.framework.seeds > 1:
+        out = []
+        for s in range(cfg.framework.start_seed,
+                       cfg.framework.start_seed + cfg.framework.seeds):
+            seed_cfg = cfg.override(**{"seed": s, "framework.seeds": 1})
+            out.append(_train_one(seed_cfg, demos, lang_encoder))
+        return out
+    return _train_one(cfg, demos, lang_encoder)
+
+
+def _train_one(cfg, demos=None, lang_encoder=None):
+    from voxactb_tpu.replay.dataset import PrefetchIterator
+    from voxactb_tpu.runners.train_runner import OfflineTrainRunner
 
     seed_dir = os.path.join(cfg.log_dir, cfg.rlbench.task_name,
                             cfg.method.name, f"seed{cfg.seed}")

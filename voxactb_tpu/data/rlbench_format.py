@@ -118,7 +118,23 @@ class DemoReader:
         self._load_images = load_images
 
     def episode_dirs(self, task_name: str, variation: int = 0) -> List[str]:
-        base = os.path.join(self._root, task_name, VARIATIONS_FOLDER % variation,
+        """Episode folders for one variation, or all variations when -1
+        (rlbench/utils.py:53-64 'all variations' mode)."""
+        task_root = os.path.join(self._root, task_name)
+        if variation == -1:
+            if not os.path.isdir(task_root):
+                raise RuntimeError(f"Can't find demos for {task_name} at "
+                                   f"{task_root}")
+            out = []
+            for v in sorted(d for d in os.listdir(task_root)
+                            if d.startswith("variation")):
+                base = os.path.join(task_root, v, EPISODES_FOLDER)
+                if os.path.isdir(base):
+                    out += [os.path.join(base, e) for e in sorted(
+                        (d for d in os.listdir(base) if d.startswith("episode")),
+                        key=lambda s: int(s.replace("episode", "") or 0))]
+            return out
+        base = os.path.join(task_root, VARIATIONS_FOLDER % variation,
                             EPISODES_FOLDER)
         if not os.path.isdir(base):
             raise RuntimeError(f"Can't find demos for {task_name} at {base}")
@@ -157,9 +173,14 @@ class DemoReader:
             for cam in self._cameras:
                 rgb_p = os.path.join(episode_dir, f"{cam}_rgb", fname)
                 depth_p = os.path.join(episode_dir, f"{cam}_depth", fname)
+                pcd_p = os.path.join(episode_dir, f"{cam}_pcd", f"{i}.npy")
                 if os.path.exists(rgb_p):
                     setattr(obs, f"{cam}_rgb", np.asarray(Image.open(rgb_p)))
-                if os.path.exists(depth_p):
+                if os.path.exists(pcd_p):
+                    # direct point-cloud storage (tools/dataset_generator.py)
+                    setattr(obs, f"{cam}_point_cloud",
+                            np.load(pcd_p).astype(np.float32))
+                elif os.path.exists(depth_p):
                     depth01 = decode_depth_rgb(np.asarray(Image.open(depth_p)))
                     misc = getattr(obs, "misc", {})
                     near = misc.get(f"{cam}_camera_near", 0.0)
