@@ -145,3 +145,28 @@ def test_domain_randomization():
     assert obs1["wrist_rgb"].dtype == obs2["wrist_rgb"].dtype
     t = env.step(np.r_[0.3, 0.0, 1.0, 0, 0, 0, 1, 1.0, 1.0], "right")
     assert "wrist_point_cloud" in t.observation
+
+
+def test_bc_lang_agent_update_and_act(rng):
+    from voxactb_tpu.agents.baseline_agents import BCLangAgent
+
+    agent = BCLangAgent(["wrist", "wrist2"], network="cnn")
+    agent.build(training=True)
+    b, img = 2, 16
+    batch = {
+        "low_dim_state": rng.normal(size=(b, 4)).astype(np.float32),
+        "lang_goal_emb": rng.normal(size=(b, 1024)).astype(np.float32),
+        "gripper_pose": rng.normal(size=(b, 7)).astype(np.float32),
+        "rot_grip_action_indicies": rng.integers(0, 72, (b, 4)).astype(np.int32),
+    }
+    for c in ("wrist", "wrist2"):
+        batch[f"{c}_rgb"] = rng.integers(0, 255, (b, img, img, 3)).astype(np.float32)
+        batch[f"{c}_point_cloud"] = rng.normal(size=(b, img, img, 3)).astype(np.float32)
+    losses = [float(np.asarray(agent.update(i, batch)["total_loss"]))
+              for i in range(5)]
+    assert losses[-1] < losses[0]
+
+    obs = {k: (v[:1] if hasattr(v, "ndim") and v.ndim else v)
+           for k, v in batch.items()}
+    res = agent.act(0, obs, which_arm=None)
+    assert np.asarray(res.action).shape == (9,)
