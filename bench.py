@@ -27,7 +27,7 @@ N_CHAIN = 16
 BATCH = 8
 
 
-def build_chain(cfg, batch):
+def build_chain(cfg, batch, params=None):
     import jax
     import jax.numpy as jnp
 
@@ -47,9 +47,11 @@ def build_chain(cfg, batch):
     lang_goal = jnp.asarray(rng.normal(size=(batch, 1024)).astype(np.float32))
     lang_tok = jnp.asarray(rng.normal(size=(batch, 77, 512)).astype(np.float32))
     bounds = jnp.asarray([[-0.8, -1.0, 0.1, 1.2, 1.0, 2.1]] * batch, jnp.float32)
-    params = model.init(
-        jax.random.key(0), jnp.zeros((batch, n, n, n, 10)), proprio, lang_goal,
-        lang_tok)
+    if params is None:
+        # params are batch-independent; jitted init at batch 1 keeps peak HBM low
+        params = jax.jit(model.init)(
+            jax.random.key(0), jnp.zeros((1, n, n, n, 10)),
+            jnp.zeros((1, 4)), jnp.zeros((1, 1024)), jnp.zeros((1, 77, 512)))
 
     nr = cfg.num_rotation_classes
 
