@@ -99,16 +99,20 @@ def main():
 
     from voxactb_tpu.config import MethodConfig
 
-    cfg = MethodConfig(voxel_sizes=[100], which_arm="right",
-                       compute_dtype="bfloat16")
+    # latency mode: z-shifted 2D conv decomposition wins at batch 1 (46 vs 65 ms);
+    # throughput mode: plain conv3d wins at batch 8 (25.2 vs 19.8 steps/s)
+    cfg_lat = MethodConfig(voxel_sizes=[100], which_arm="right",
+                           compute_dtype="bfloat16", zshift_conv3d=True)
+    cfg_thr = MethodConfig(voxel_sizes=[100], which_arm="right",
+                           compute_dtype="bfloat16", zshift_conv3d=False)
 
-    lat_chain, r1, p1 = build_chain(cfg, batch=1)
+    lat_chain, r1, p1 = build_chain(cfg_lat, batch=1)
     single_sps = time_chain(lat_chain, r1, p1, 1)
 
     value = single_sps
     batched_sps = None
     if os.environ.get("BENCH_SKIP_BATCHED") != "1":
-        thr_chain, r8, p8 = build_chain(cfg, batch=BATCH)
+        thr_chain, r8, p8 = build_chain(cfg_thr, batch=BATCH)
         batched_sps = time_chain(thr_chain, r8, p8, BATCH)
         value = max(value, batched_sps)
 

@@ -66,6 +66,7 @@ def build_encoder(cfg: MethodConfig, low_dim_size: Optional[int] = None
         two_arm_heads=two_heads,
         fused_upsample=cfg.fused_upsample,
         pallas_stats=cfg.pallas_stats,
+        zshift_conv3d=cfg.zshift_conv3d,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )
 

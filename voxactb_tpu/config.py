@@ -95,6 +95,7 @@ class MethodConfig:
     remat: bool = False             # jax.checkpoint the perceiver trunk
     fused_upsample: bool = True     # phase-decomposed decoder upsample-conv
     pallas_stats: bool = False      # pallas fused softargmax+maxpool (TPU only)
+    zshift_conv3d: bool = True      # stride-1 k3 convs as depth-shifted 2D convs
 
     @property
     def voxel_size(self) -> int:

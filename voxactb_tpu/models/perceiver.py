@@ -156,6 +156,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
     two_arm_heads: bool = False
     fused_upsample: bool = True  # phase-decomposed upsample-conv (ops/upsample_conv)
     pallas_stats: bool = False   # fused softargmax+maxpool kernel (TPU only)
+    zshift_conv3d: bool = True   # decompose big stride-1 convs into 2D convs
     dtype: jnp.dtype = jnp.float32
 
     def _stats(self, x):
@@ -284,7 +285,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
         )(grid)
 
         final_conv = Conv3D(self.im_channels, 3, 1, self.activation,
-                            zshift_2d=True, dtype=self.dtype, name="final")
+                            zshift_2d=self.zshift_conv3d, dtype=self.dtype, name="final")
         if self.no_skip_connection:
             u = final_conv(u0)
         elif self.no_perceiver:
@@ -316,16 +317,16 @@ class PerceiverVoxelLangEncoder(nn.Module):
             # NOTE the reference computes ss_final per arm; we mirror that by calling
             # mlp_heads twice (each call makes its own ss_final params via name scope).
             out["trans_right"] = Conv3D(
-                1, 3, 1, None, zshift_2d=True, dtype=self.dtype,
+                1, 3, 1, None, zshift_2d=self.zshift_conv3d, dtype=self.dtype,
                 name="trans_decoder")(u).astype(jnp.float32)
             _, out["rot_grip_right"], out["collision_right"] = mlp_heads("")
             out["trans_left"] = Conv3D(
-                1, 3, 1, None, zshift_2d=True, dtype=self.dtype,
+                1, 3, 1, None, zshift_2d=self.zshift_conv3d, dtype=self.dtype,
                 name="trans_decoder_left")(u).astype(jnp.float32)
             _, out["rot_grip_left"], out["collision_left"] = mlp_heads("_left")
         else:
             out["trans"] = Conv3D(
-                1, 3, 1, None, zshift_2d=True, dtype=self.dtype,
+                1, 3, 1, None, zshift_2d=self.zshift_conv3d, dtype=self.dtype,
                 name="trans_decoder")(u).astype(jnp.float32)
             cat, out["rot_grip"], out["collision"] = mlp_heads("")
             if self.arm_pred:
