@@ -19,7 +19,7 @@ from flax import serialization
 
 from voxactb_tpu.agents.base import ActResult, Agent, ScalarSummary
 from voxactb_tpu.agents.qfunction import TrainState, normalize_rgb
-from voxactb_tpu.models.baselines import CnnLangPolicy, LingUNetQNet, ViTLangPolicy
+from voxactb_tpu.models.baselines import CnnLangPolicy, ViTLangPolicy
 
 
 class BCLangAgent(Agent):

@@ -18,14 +18,12 @@ program with static shapes:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from voxactb_tpu.config import MethodConfig
 from voxactb_tpu.models.perceiver import PerceiverVoxelLangEncoder

@@ -12,7 +12,7 @@ voxposer/envs/rlbench_env.py:580-613).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

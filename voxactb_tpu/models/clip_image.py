@@ -9,7 +9,7 @@ stage features, so ``__call__`` can return the pyramid too.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ reference downloads) onto this module so checkpoint-level parity is testable.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

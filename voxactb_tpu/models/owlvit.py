@@ -11,7 +11,7 @@ importer maps a transformers ``OwlViTForObjectDetection`` state_dict.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ while keeping f32 params and f32 softmax/spatial-softmax accumulation.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

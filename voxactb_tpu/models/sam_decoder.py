@@ -9,7 +9,6 @@ IoU prediction head. Box prompts only (the only prompt type the pipeline needs).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ TPU notes: channels-last everywhere; attention is batched over windows (64 windo
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -191,9 +191,6 @@ def open_loop_errors(agent, val_transitions: Sequence[Dict], which_arm: str,
                      **act_kwargs) -> Dict[str, float]:
     """Positional / angular / gripper-open errors of a checkpoint on held-out
     validation keyframes (open-loop regression test before live execution)."""
-    from voxactb_tpu.ops import geometry as G
-    import jax.numpy as jnp
-
     pos_err, ang_err, grip_err = [], [], []
     for t in val_transitions:
         res = agent.act(0, dict(t["observation"]), which_arm=which_arm,

@@ -14,8 +14,7 @@ from __future__ import annotations
 import logging
 import os
 import shutil
-import time
-from typing import Iterable, Optional
+from typing import Iterable
 
 import numpy as np
 

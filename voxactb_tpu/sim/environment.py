@@ -22,7 +22,7 @@ import numpy as np
 
 from voxactb_tpu.envs.base import BimanualEnv, Transition
 from voxactb_tpu.sim.backend import ARMS, KinematicBackend, SimBackend
-from voxactb_tpu.sim.task import BimanualTask, Waypoint
+from voxactb_tpu.sim.task import BimanualTask
 
 REWARD_SCALE = 100.0
 

@@ -18,7 +18,7 @@ dominant/right arm, 12 for the assistive/left arm (demo_loading_utils.py:88-97).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

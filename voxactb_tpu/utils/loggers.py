@@ -10,7 +10,6 @@ from __future__ import annotations
 import csv
 import os
 import threading
-from collections import OrderedDict
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -11,7 +11,7 @@ reference transposes to channel-first for torch (utils.py:579-583), which we nev
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

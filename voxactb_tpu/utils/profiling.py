@@ -12,7 +12,6 @@ import time
 from collections import defaultdict
 from typing import Dict, Optional
 
-import numpy as np
 
 
 class StepTimer:

@@ -9,7 +9,7 @@ rotating virtual viewpoint); encoding uses imageio when available, else .npz.
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 import numpy as np
 

@@ -20,7 +20,7 @@ Decomposition here:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Protocol, Sequence, Tuple
+from typing import Callable, Dict, Optional, Protocol, Tuple
 
 import numpy as np
 

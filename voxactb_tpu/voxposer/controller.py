@@ -10,7 +10,7 @@ target waypoint, execute the best via an approach -> push -> retreat primitive.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

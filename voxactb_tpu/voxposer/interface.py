@@ -15,13 +15,13 @@ motion only, which none of the four VoxAct-B tasks use at policy level; the hook
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Callable, Iterable, List, Optional, Tuple
 
 import numpy as np
 
 from voxactb_tpu.envs.base import BimanualEnv
 from voxactb_tpu.voxposer.lmp import LMP, LMPConfig, LLMBackend
-from voxactb_tpu.voxposer.planner import GreedyPathPlanner, PlannerConfig
+from voxactb_tpu.voxposer.planner import GreedyPathPlanner
 from voxactb_tpu.voxposer.value_maps import VoxelMapSpec, set_voxel_by_radius
 
 EE_ALIAS = ("ee", "endeffector", "end_effector", "end effector", "gripper",

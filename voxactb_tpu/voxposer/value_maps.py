@@ -9,7 +9,6 @@ resolution; world<->voxel conversion is metric over the workspace bounds.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
 
 import numpy as np
 
