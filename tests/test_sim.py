@@ -158,3 +158,12 @@ def test_dataset_generator_roundtrip(tmp_path):
         crop_target_obj_voxel=True, crop_radius=0.3,
     )
     assert filled > 0 and buf.size == filled
+
+
+def test_pyrep_backend_gates_cleanly():
+    from voxactb_tpu.sim.pyrep_backend import PyRepBackend, pyrep_available
+
+    if pyrep_available():
+        pytest.skip("CoppeliaSim present; adapter exercised by sim-in-the-loop runs")
+    with pytest.raises(RuntimeError, match="KinematicBackend"):
+        PyRepBackend("/nonexistent/scene.ttt")
