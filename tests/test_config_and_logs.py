@@ -1,0 +1,64 @@
+"""Config snapshot/override semantics + CSV backfill + LogWriter."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from voxactb_tpu.agents.base import ScalarSummary
+from voxactb_tpu.config import Config
+from voxactb_tpu.utils.loggers import CsvWriter, LogWriter
+
+
+def test_config_override_and_snapshot_roundtrip(tmp_path):
+    cfg = Config().override(**{
+        "method.which_arm": "dominant",
+        "method.crop_radius": 0.3,
+        "method.voxel_sizes": [50],
+        "rlbench.tasks": ["open_jar", "open_drawer"],
+        "framework.eval_type": "best",
+        "seed": 7,
+    })
+    p = str(tmp_path / "config.json")
+    cfg.save(p)
+    back = Config.load(p)
+    assert back.method.which_arm == "dominant"
+    assert back.method.crop_radius == 0.3
+    assert back.method.voxel_size == 50
+    assert back.rlbench.tasks == ["open_jar", "open_drawer"]
+    assert back.framework.eval_type == "best"
+    assert back.seed == 7
+    # overrides on the reloaded snapshot still validate keys
+    with pytest.raises(KeyError, match="unknown config key"):
+        back.override(**{"method.not_a_knob": 1})
+
+
+def test_config_override_does_not_mutate_original():
+    cfg = Config()
+    cfg2 = cfg.override(**{"method.lr": 1e-4})
+    assert cfg.method.lr == 0.0005 and cfg2.method.lr == 1e-4
+    assert cfg2.method is not cfg.method or cfg.method.lr == 1e-4  # replaced tree
+
+
+def test_csv_writer_backfills_new_columns(tmp_path):
+    p = str(tmp_path / "m.csv")
+    w = CsvWriter(p)
+    w.write({"step": 0, "loss": 1.0})
+    w.write({"step": 1, "loss": 0.5, "grad_norm": 3.0})  # new column appears
+    with open(p) as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0]["grad_norm"] == ""  # backfilled
+    assert rows[1]["grad_norm"] == "3.0"
+    assert [r["step"] for r in rows] == ["0", "1"]
+
+
+def test_log_writer_writes_scalars(tmp_path):
+    lw = LogWriter(str(tmp_path), tensorboard_logging=False)
+    lw.add_summaries(5, [ScalarSummary("losses/total", 2.5),
+                         ScalarSummary("losses/rot", np.float32(1.25))])
+    lw.close()
+    with open(tmp_path / "train_data.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0]["losses/total"] == "2.5"
+    assert float(rows[0]["losses/rot"]) == 1.25

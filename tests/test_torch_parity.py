@@ -127,3 +127,17 @@ def test_zshift_decomposition_matches_plain_conv(rng):
     fast = np.asarray(Conv3D(cout, 3, 1, zshift_2d=True).apply(
         params, jnp.asarray(x)))
     np.testing.assert_allclose(fast, plain, atol=2e-5)
+
+
+def test_s2d_matmul_patchify_matches_plain_conv(rng):
+    """space-to-depth matmul path == plain strided conv (k == stride, replicate pad)."""
+    b, n, cin, cout, k = 1, 20, 6, 8, 5
+    x = rng.normal(size=(b, n, n, n, cin)).astype(np.float32)
+    w = rng.normal(size=(k, k, k, cin, cout)).astype(np.float32) * 0.1
+    bias = rng.normal(size=(cout,)).astype(np.float32)
+    params = {"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(bias)}}
+    plain = np.asarray(Conv3D(cout, k, k).apply(params, jnp.asarray(x)))
+    fast = np.asarray(Conv3D(cout, k, k, s2d_matmul=True).apply(
+        params, jnp.asarray(x)))
+    assert fast.shape == plain.shape == (b, 4, 4, 4, cout)
+    np.testing.assert_allclose(fast, plain, atol=3e-5)

@@ -64,6 +64,21 @@ def main():
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=jnp.float32).astype(bf)
 
+    def patchify_s2d(x, k):
+        ksz = k.shape[0]
+        b, n = x.shape[0], x.shape[1]
+        sgrid = n // ksz
+        cin = x.shape[-1]
+        pad = ksz // 2
+        xp = jnp.pad(x, ((0, 0),) + ((pad, 0),) * 3 + ((0, 0),),
+                     mode="edge")[:, :n, :n, :n]
+        xp = xp.reshape(b, sgrid, ksz, sgrid, ksz, sgrid, ksz, cin)
+        xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            b, sgrid ** 3, ksz ** 3 * cin)
+        w = k.reshape(ksz ** 3 * cin, k.shape[-1])
+        return jnp.einsum("bpk,kf->bpf", xp, w,
+                          preferred_element_type=jnp.float32).astype(bf)
+
     def conv3d_as_2d_zshift(x, k):
         """k3 conv3d decomposed into 3 z-shifted 2D convs (D folded into batch)."""
         b, d, h, w, cin = x.shape
@@ -108,6 +123,7 @@ def main():
     stages = {
         "conv1x1_10->64@100": (grid10, lambda x: conv3d(x, k1)),
         "patchify_k5s5@100": (d0, lambda x: conv3d(x, k5s5, stride=5)),
+        "patchify_s2d_matmul@100": (d0, lambda x: patchify_s2d(x, k5s5)),
         "ss0_softmax64@100": (d0, spatial_softmax_3d),
         "globalmax@100": (d0, lambda x: jnp.max(x, axis=(1, 2, 3))),
         "final_k3_conv3d@100": (cat128, lambda x: conv3d(x, k3)),

@@ -197,8 +197,14 @@ class Config:
     # ---- hydra-style helpers ----------------------------------------------------
 
     def override(self, **dotted: Any) -> "Config":
-        """Apply dotted-path overrides: cfg.override(**{'method.lr': 1e-4})."""
-        cfg = dataclasses.replace(self)
+        """Apply dotted-path overrides: cfg.override(**{'method.lr': 1e-4}).
+
+        Deep-copies first — ``dataclasses.replace`` alone would share the nested
+        group dataclasses and leak mutations back into the original config.
+        """
+        import copy
+
+        cfg = copy.deepcopy(self)
         for key, value in dotted.items():
             parts = key.split(".")
             obj = cfg

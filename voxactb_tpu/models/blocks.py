@@ -65,6 +65,7 @@ class Conv3D(nn.Module):
     strides: int = 1
     activation: Optional[str] = None
     zshift_2d: bool = False
+    s2d_matmul: bool = False  # stride==kernel convs as space-to-depth + one matmul
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,6 +77,26 @@ class Conv3D(nn.Module):
             (self.kernel_size,) * 3 + (cin, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if (self.s2d_matmul and self.strides == self.kernel_size
+                and self.strides > 1 and x.shape[1] % self.strides == 0):
+            # With stride == kernel size and replicate pad k//2, windows tile the
+            # range [-pad, N-pad) without overlap: front-pad only, drop the unused
+            # back padding, space-to-depth, and contract in one MXU matmul.
+            k = self.kernel_size
+            b, n = x.shape[0], x.shape[1]
+            s = n // k
+            xp = jnp.pad(x, ((0, 0),) + ((pad, 0),) * 3 + ((0, 0),),
+                         mode="edge")[:, :n, :n, :n].astype(self.dtype)
+            xp = xp.reshape(b, s, k, s, k, s, k, cin)
+            xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+                b, s * s * s, k * k * k * cin)
+            w = kernel.astype(self.dtype).reshape(k * k * k * cin, self.features)
+            y = jnp.einsum("bpk,kf->bpf", xp, w,
+                           preferred_element_type=jnp.float32) + bias
+            y = y.reshape(b, s, s, s, self.features)
+            return act_fn(self.activation)(y.astype(self.dtype))
+
         if pad:
             x = jnp.pad(
                 x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)), mode="edge"
