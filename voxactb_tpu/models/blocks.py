@@ -65,7 +65,10 @@ class Conv3D(nn.Module):
     strides: int = 1
     activation: Optional[str] = None
     zshift_2d: bool = False
-    s2d_matmul: bool = False  # stride==kernel convs as space-to-depth + one matmul
+    s2d_matmul: bool = False  # stride==kernel convs as space-to-depth + one
+    # matmul. Exact (parity-tested); measured SLOWER on the bandwidth-limited
+    # relay chip (8.2ms vs 5.1ms at 100^3 — the transpose dominates), so it
+    # stays off there; on physical TPU the MXU-shaped contraction should win.
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
