@@ -168,3 +168,63 @@ def test_eval_runner_sweep_and_skip(tmp_path, rng):
     best = select_checkpoints(str(tmp_path / "weights"), "best",
                               str(tmp_path / "logs" / "eval_data.csv"))
     assert best and best[0] in (0, 2)
+
+
+def test_rollout_both_arms_branch(rng):
+    """crop + which_arm='both': two policies, fixed left/right alternation
+    (rollout_generator.py:131-207)."""
+    cfg = tiny_cfg(which_arm="right", arm_pred_loss=False)
+    env = FakeBimanualEnv(image_size=IMG, episode_length=4, seed=5)
+    env.launch()
+    right = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    left = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    right.build(training=False)
+    left.build(training=False)
+    gen = RolloutGenerator()
+    transitions = list(gen.generator(
+        env, right, episode_length=4, left_arm_agent=left, which_arm="both",
+        crop_target_obj_voxel=True, crop_radius=0.3,
+    ))
+    assert transitions and transitions[-1].terminal
+    arms = [arm for _, arm, _ in env.step_log]
+    expected = ["left" if i % 2 == 0 else "right" for i in range(len(arms))]
+    assert arms == expected
+
+
+def test_rollout_multiarm_branch(rng):
+    """crop + multiarm: one policy, per-arm lang instruction keys
+    (rollout_generator.py:299-374)."""
+    cfg = tiny_cfg(which_arm="right", arm_pred_loss=False)
+    env = FakeBimanualEnv(image_size=IMG, episode_length=4, seed=6)
+    env.launch()
+    agent = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    agent.build(training=False)
+    gen = RolloutGenerator()
+    transitions = list(gen.generator(
+        env, agent, episode_length=4, which_arm="multiarm",
+        crop_target_obj_voxel=True, crop_radius=0.3,
+    ))
+    assert transitions and transitions[-1].terminal
+    # the agent sees multiarm_{left,right}; the env is stepped with the plain arm
+    arms = [arm for _, arm, _ in env.step_log]
+    expected = ["left" if i % 2 == 0 else "right" for i in range(len(arms))]
+    assert arms == expected
+
+
+def test_auto_crop_uses_env_radius(rng):
+    """auto_crop pulls the env's object-derived radius (vlm.py:182-192 path)."""
+    cfg = tiny_cfg()
+    env = FakeBimanualEnv(image_size=IMG, episode_length=3, seed=7)
+    env.launch()
+    acting = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    stabilizing = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    acting.build(training=False)
+    stabilizing.build(training=False)
+    list(RolloutGenerator().generator(
+        env, acting, episode_length=2, left_arm_agent=stabilizing,
+        which_arm="dominant_assistive", crop_target_obj_voxel=True,
+        crop_radius=999.0, auto_crop=True,  # huge manual radius must be ignored
+    ))
+    crop = np.round(np.asarray(env.target_object_world_coords()), 2)
+    for _, _, action in env.step_log:
+        assert np.all(np.abs(action[:3] - crop) <= env.auto_crop_radius() + 1e-6)
