@@ -116,6 +116,14 @@ def main():
         batched_sps = time_chain(thr_chain, r8, p8, BATCH)
         value = max(value, batched_sps)
 
+    # the VoxAct-B operating point: 50^3 VLM-cropped grid (launch_utils.py:341-347)
+    crop50_sps = None
+    if os.environ.get("BENCH_SKIP_CROP50") != "1":
+        cfg50 = MethodConfig(voxel_sizes=[50], which_arm="right",
+                             compute_dtype="bfloat16", zshift_conv3d=True)
+        c50, r50, p50 = build_chain(cfg50, batch=1)
+        crop50_sps = time_chain(c50, r50, p50, 1)
+
     per_chip_target = 1000.0 / 8.0
     out = {
         "metric": "fused voxelize+Q-forward steps/sec @100^3 grid "
@@ -129,6 +137,9 @@ def main():
     }
     if batched_sps is not None:
         out["batched8_steps_per_s"] = round(float(batched_sps), 2)
+    if crop50_sps is not None:
+        out["crop50_steps_per_s"] = round(float(crop50_sps), 2)
+        out["crop50_latency_ms"] = round(1000.0 / crop50_sps, 2)
     print(json.dumps(out))
 
 
