@@ -198,3 +198,30 @@ def test_demo_reader_roundtrip(tmp_path, rng):
     assert o.wrist_depth.shape == (16, 16)
     assert 0.1 <= o.wrist_depth.min() and o.wrist_depth.max() <= 3.0
     assert o.wrist_point_cloud.shape == (16, 16, 3)
+
+
+def test_demo_augmentation_multiplies_samples(rng):
+    """Every Nth intermediate frame starts a keyframe chain (launch_utils.py:577-596)."""
+    from voxactb_tpu.data.fill_replay import reference_split_arm_fn
+
+    sig = bc_replay_signature(["wrist", "wrist2"], (8, 8), low_dim_size=7)
+    base_kwargs = dict(
+        cameras=["wrist", "wrist2"],
+        scene_bounds=[-0.8, -1.0, 0.1, 1.2, 1.0, 2.1],
+        voxel_size=50, rotation_resolution=5, which_arm="dominant",
+        dominant_assistive_arm_fn=lambda d: "right",
+    )
+    demos = [synth_demo(rng, n=14)]
+
+    buf_plain = TaskUniformReplayBuffer(512, sig)
+    n_plain = fill_replay(buf_plain, demos, demo_augmentation=False, **base_kwargs)
+
+    buf_aug = TaskUniformReplayBuffer(512, sig)
+    n_aug = fill_replay(buf_aug, demos, demo_augmentation=True,
+                        demo_augmentation_every_n=2, **base_kwargs)
+    assert n_aug > n_plain  # intermediate start frames add samples
+    # the split convention: first half left-dominant, second half right
+    split = reference_split_arm_fn(10)
+    assert split(0) == "left" and split(4) == "left"
+    assert split(5) == "right" and split(9) == "right"
+    assert reference_split_arm_fn(1)(0) == "left"

@@ -81,7 +81,22 @@ def build_replay_and_agent(cfg, lang_encoder=None, demos=None):
         demos = {t: reader.load(t, amount=cfg.rlbench.demos)
                  for t in cfg.rlbench.tasks}
     if demos:
+        from voxactb_tpu.data.fill_replay import reference_split_arm_fn
         from voxactb_tpu.utils.keypoints import KeypointConfig
+
+        # dominant arm: per-demo ground truth when the source recorded it, else the
+        # reference's half-split convention by demo index (launch_utils.py:542-560)
+        demo_index = {}
+        for demo_list in demos.values():
+            for i, d in enumerate(demo_list):
+                demo_index[id(d)] = (i, len(demo_list))
+
+        def arm_fn(d):
+            known = getattr(d, "dominant_arm", None)
+            if known:
+                return known
+            i, n_total = demo_index.get(id(d), (0, 1))
+            return reference_split_arm_fn(n_total)(i)
 
         kcfg = KeypointConfig(
             saved_every_last_inserted=m.saved_every_last_inserted,
@@ -100,8 +115,9 @@ def build_replay_and_agent(cfg, lang_encoder=None, demos=None):
             which_arm=m.which_arm,
             lang_encoder=lang_encoder,
             keypoint_cfg=kcfg,
-            dominant_assistive_arm_fn=lambda d: getattr(
-                d, "dominant_arm", None) or "right",
+            dominant_assistive_arm_fn=arm_fn,
+            demo_augmentation=m.demo_augmentation,
+            demo_augmentation_every_n=m.demo_augmentation_every_n,
             crop_target_obj_voxel=m.crop_target_obj_voxel,
             crop_radius=m.crop_radius,
             arm_pred_loss=m.arm_pred_loss,

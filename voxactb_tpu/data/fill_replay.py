@@ -68,6 +68,20 @@ def discretize_keyframe(obs_tp1, obs_tm1, scene_bounds, voxel_size: int,
     return trans.astype(np.int32), rot_grip, ignore_collisions, action
 
 
+def reference_split_arm_fn(num_demos: int):
+    """The reference's data convention (launch_utils.py:542-560): demos are split in
+    half, first half LEFT-dominant then right (equivalently first half
+    right-assistive). Returns fn(demo_index) -> dominant arm; ``fill_replay`` flips
+    it for 'assistive' mode."""
+
+    half = int(num_demos / 2)
+
+    def fn(d_idx: int) -> str:
+        return "left" if (num_demos == 1 or d_idx < half) else "right"
+
+    return fn
+
+
 def add_keypoints_to_replay(
     replay: UniformReplayBuffer,
     demo_observations: Sequence,
@@ -88,15 +102,21 @@ def add_keypoints_to_replay(
     episode_length: int = 25,
     task_id: int = 0,
     task_name: str = "",
+    start_frame: int = 0,
 ) -> int:
-    """Insert one episode's keyframe transitions; returns the number inserted."""
+    """Insert one keyframe chain starting from ``start_frame``; returns the count.
+
+    The reference calls this per augmentation start frame (launch_utils.py:577-596):
+    the first transition pairs ``demo[start_frame]`` with the next keyframe action,
+    then the remaining keyframes chain keyframe -> keyframe.
+    """
     if lang_encoder is not None:
         sentence_emb, token_embs = lang_encoder(description)
     else:
         sentence_emb = np.zeros((1, 1024), np.float32)
         token_embs = np.zeros((1, 77, 512), np.float32)
 
-    obs = demo_observations[0]
+    obs = demo_observations[start_frame]
     n_added = 0
     for k, keypoint in enumerate(episode_keypoints):
         obs_tp1 = demo_observations[keypoint]
@@ -177,11 +197,18 @@ def fill_replay(
     lang_encoder: Optional[Callable] = None,
     keypoint_cfg: Optional[KeypointConfig] = None,
     dominant_assistive_arm_fn: Optional[Callable] = None,
+    demo_augmentation: bool = True,
+    demo_augmentation_every_n: int = 10,
     task_id: int = 0,
     task_name: str = "",
     **kwargs,
 ) -> int:
-    """launch_utils.py:491-596: keypoint discovery + keyframe insertion per demo."""
+    """launch_utils.py:491-596: keypoint discovery + per-start-frame insertion.
+
+    With ``demo_augmentation`` every ``every_n``-th intermediate frame becomes a
+    starting observation paired against the remaining keyframe chain — the PerAct
+    data scheme the reference trains on (launch_utils.py:577-596).
+    """
     keypoint_cfg = keypoint_cfg or KeypointConfig()
     total = 0
     for demo in demos:
@@ -199,13 +226,27 @@ def fill_replay(
         )
         keypoints, labels = (result if isinstance(result, tuple)
                              else (result, None))
-        total += add_keypoints_to_replay(
-            replay, observations, keypoints, description, cameras,
-            scene_bounds, voxel_size, rotation_resolution, which_arm,
-            lang_encoder=lang_encoder, labels=labels,
-            dominant_assistive_arm=da_arm, task_id=task_id,
-            task_name=task_name, **kwargs,
-        )
+
+        for i in range(len(observations) - 1):
+            if not demo_augmentation and i > 0:
+                break
+            if i % demo_augmentation_every_n != 0:
+                continue
+            # drop keyframes the start frame has already passed
+            # (launch_utils.py:589-592)
+            while keypoints and i >= keypoints[0]:
+                keypoints = keypoints[1:]
+                if labels is not None:
+                    labels = labels[1:]
+            if not keypoints:
+                break
+            total += add_keypoints_to_replay(
+                replay, observations, keypoints, description, cameras,
+                scene_bounds, voxel_size, rotation_resolution, which_arm,
+                lang_encoder=lang_encoder, labels=labels,
+                dominant_assistive_arm=da_arm, task_id=task_id,
+                task_name=task_name, start_frame=i, **kwargs,
+            )
     return total
 
 
