@@ -104,11 +104,22 @@ def test_scripted_demo_feeds_keypoints_and_replay():
         voxel_size=50, rotation_resolution=5, which_arm="dominant",
         dominant_assistive_arm_fn=lambda d: dom,
         crop_target_obj_voxel=True, crop_radius=0.3, arm_pred_loss=True,
-        arm_id_to_proprio=True,
+        arm_id_to_proprio=True, demo_augmentation=False,
     )
     assert n == len(kps) and buf.size == n
     batch = buf.sample_transition_batch(2)
     assert batch["target_object_scene_bounds"].shape == (2, 6)
+    # with per-frame demo augmentation the same demo yields strictly more samples
+    buf2 = TaskUniformReplayBuffer(512, sig)
+    n_aug = fill_replay(
+        buf2, demos, ["wrist", "wrist2"], [-0.45, -0.6, 0.55, 0.65, 0.6, 1.5],
+        voxel_size=50, rotation_resolution=5, which_arm="dominant",
+        dominant_assistive_arm_fn=lambda d: dom,
+        crop_target_obj_voxel=True, crop_radius=0.3, arm_pred_loss=True,
+        arm_id_to_proprio=True, demo_augmentation=True,
+        demo_augmentation_every_n=10,
+    )
+    assert n_aug > n
 
 
 def test_sim_environment_vends_tasks():
