@@ -122,3 +122,36 @@ def test_real_robot_tuple(trained_agent):
                     dominant_assitive_policy=True, is_real_robot=True)
     pos, quat, grip = res.action
     assert pos.shape == (3,) and quat.shape == (4,) and grip.shape == (1,)
+
+
+def test_agent_memorizes_training_batch(rng):
+    """End-to-end learning correctness: enough updates on one batch drive the
+    translation argmax to the ground-truth voxel (loss path + gradients + decode
+    all consistent)."""
+    cfg = tiny_cfg(apply_se3=False, lr=5e-3, arm_pred_loss=False,
+                   input_dropout=0.0, attn_dropout=0.0)
+    agent = QAttentionBCAgent(cfg, CAMERAS, BOUNDS, batch_size=2,
+                              training_iterations=200)
+    agent.build(training=True)
+    batch = synthetic_batch(rng, cfg)
+    batch.pop("label")
+    for i in range(60):
+        out = agent.update(i, dict(batch))
+    assert float(np.asarray(out["total_loss"])) < 2.0
+
+    # act on the training observations with the same bounds: argmax == GT voxel
+    import jax.numpy as jnp
+    from voxactb_tpu.agents.qfunction import make_infer_fn
+
+    _, infer = make_infer_fn(cfg)
+    rgbs = tuple(jnp.asarray(batch[f"{c}_rgb"]) for c in CAMERAS)
+    pcds = tuple(jnp.asarray(batch[f"{c}_point_cloud"]) for c in CAMERAS)
+    res = infer(agent.params, rgbs, pcds,
+                jnp.asarray(batch["low_dim_state"]),
+                jnp.asarray(batch["lang_goal_emb"]),
+                jnp.asarray(batch["lang_token_embs"]),
+                jnp.asarray(BOUNDS, jnp.float32)[None])
+    pred = np.asarray(res.trans_idx)
+    np.testing.assert_array_equal(pred, batch["trans_action_indicies"])
+    rot_pred = np.asarray(res.rot_grip_idx)
+    np.testing.assert_array_equal(rot_pred, batch["rot_grip_action_indicies"])

@@ -52,16 +52,18 @@ class CsvWriter:
 
 
 class LogWriter:
-    """train/env metric sink: CSV always, TensorBoard when available."""
+    """train/env metric sink: CSV always; TensorBoard and wandb when available
+    (the reference's optional wandb path, train.py:75-89)."""
 
     def __init__(self, logdir: str, tensorboard_logging: bool = True,
-                 csv_logging: bool = True):
+                 csv_logging: bool = True, wandb_run=None):
         self._logdir = logdir
         os.makedirs(logdir, exist_ok=True)
         self._csv = CsvWriter(os.path.join(logdir, "train_data.csv")) \
             if csv_logging else None
         self._env_csv = CsvWriter(os.path.join(logdir, "env_data.csv")) \
             if csv_logging else None
+        self._wandb = wandb_run
         self._tb = None
         if tensorboard_logging:
             try:
@@ -74,6 +76,8 @@ class LogWriter:
     def add_scalar(self, step: int, name: str, value) -> None:
         if self._tb is not None:
             self._tb.add_scalar(name, float(value), step)
+        if self._wandb is not None:
+            self._wandb.log({name: float(value)}, step=step)
 
     def add_summaries(self, step: int, summaries: List[Summary],
                       env: bool = False) -> None:
