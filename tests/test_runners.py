@@ -228,3 +228,27 @@ def test_auto_crop_uses_env_radius(rng):
     crop = np.round(np.asarray(env.target_object_world_coords()), 2)
     for _, _, action in env.step_log:
         assert np.all(np.abs(action[:3] - crop) <= env.auto_crop_radius() + 1e-6)
+
+
+def test_stabilizing_sweep(tmp_path, rng):
+    """best-acting x sweep-stabilizing dual selection (eval.py:206-241)."""
+    cfg = tiny_cfg()
+    env = FakeBimanualEnv(image_size=IMG, episode_length=3, seed=9)
+    env.launch()
+    acting = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    acting.build(training=False)
+    obs = env.reset()
+    acting.act(0, obs, which_arm="dominant", dominant_assitive_policy=True)
+    acting.save_weights(str(tmp_path / "acting" / "0"))
+    for s in (0, 1):
+        acting.save_weights(str(tmp_path / "stab" / str(s)))
+
+    stabilizing = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    runner = EvalRunner(
+        env, acting, str(tmp_path / "acting"), str(tmp_path / "logs"),
+        left_arm_agent=stabilizing, eval_episodes=1, episode_length=3,
+    )
+    rows = runner.sweep_stabilizing(0, str(tmp_path / "stab"))
+    assert [r["left_step"] for r in rows] == [0, 1]
+    assert all(r["step"] == 0 for r in rows)
+    assert os.path.exists(tmp_path / "logs" / "stabilizing_sweep.csv")

@@ -136,3 +136,46 @@ class EvalRunner:
         finally:
             self._env.shutdown()
         return results
+
+    def sweep_stabilizing(self, acting_step: int,
+                          stabilizing_weightsdir: str) -> List[Dict[str, float]]:
+        """Dual-policy selection: fix the (best) acting checkpoint and sweep every
+        stabilizing checkpoint independently (eval.py:206-241's best-acting x
+        sweep-stabilizing protocol). Rows carry both step ids."""
+        self._agent.build(training=False)
+        if self._left_arm_agent is None:
+            raise ValueError("sweep_stabilizing needs a left_arm_agent")
+        self._left_arm_agent.build(training=False)
+        self._env.launch()
+        writer = CsvWriter(os.path.join(self._logdir, "stabilizing_sweep.csv"))
+        results = []
+        try:
+            self._agent.load_weights(
+                os.path.join(self._weightsdir, str(acting_step)))
+            for left_step in existing_weight_steps(stabilizing_weightsdir):
+                self._left_arm_agent.load_weights(
+                    os.path.join(stabilizing_weightsdir, str(left_step)))
+                acc = StatAccumulator()
+                for ep in range(self._eval_from,
+                                self._eval_from + self._eval_episodes):
+                    total_reward, length = 0.0, 0
+                    for rt in self._rollout.generator(
+                        self._env, self._agent, self._episode_length, eval=True,
+                        left_arm_agent=self._left_arm_agent,
+                        which_arm=self._which_arm,
+                        crop_target_obj_voxel=self._crop,
+                        crop_radius=self._crop_radius, auto_crop=self._auto_crop,
+                        demo_index=ep,
+                    ):
+                        total_reward += rt.reward
+                        length += 1
+                    acc.step_episode(total_reward, length)
+                row: Dict[str, float] = {"step": acting_step,
+                                         "left_step": left_step}
+                for s in acc.pop():
+                    row[s.name] = s.value
+                writer.write(row)
+                results.append(row)
+        finally:
+            self._env.shutdown()
+        return results
