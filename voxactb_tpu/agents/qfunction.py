@@ -35,6 +35,11 @@ from voxactb_tpu.ops.voxelize import voxelize
 def build_encoder(cfg: MethodConfig, low_dim_size: Optional[int] = None
                   ) -> PerceiverVoxelLangEncoder:
     """Instantiate the Q-net from a method config (create_agent, launch_utils.py:663+)."""
+    if cfg.voxel_size % cfg.voxel_patch_stride != 0:
+        raise ValueError(
+            f"voxel_size {cfg.voxel_size} must be divisible by voxel_patch_stride "
+            f"{cfg.voxel_patch_stride} (the decoder upsamples the patch grid back "
+            "to the full resolution for the skip connection)")
     two_heads = cfg.variant == "one_policy_more_heads"
     return PerceiverVoxelLangEncoder(
         depth=cfg.transformer_depth,
