@@ -84,3 +84,21 @@ def test_language_encoder_plugs_into_agent_contract():
     assert sent.shape == (1, 1024)
     assert tok_embs.shape == (1, 77, 512)
     assert np.isfinite(sent).all()
+
+
+def test_clip_joint_model(rng):
+    from voxactb_tpu.models.clip_image import ClipResNetImageEncoder
+    from voxactb_tpu.models.clip_text import ClipModel, ClipTextEncoder
+
+    model = ClipModel(
+        image_encoder=ClipResNetImageEncoder(layers=(1, 1, 1, 1), width=16,
+                                             output_dim=32, heads=4),
+        text_encoder=ClipTextEncoder(layers=1, width=32, heads=2, embed_dim=32),
+    ).init(0, image_size=64)
+    images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    tokens = jnp.zeros((3, 77), jnp.int32)
+    tokens = tokens.at[:, 0].set(SOT).at[:, 1].set(EOT)
+    li, lt = model(images, tokens)
+    assert li.shape == (2, 3) and lt.shape == (3, 2)
+    sent, tok = model.encode_text_with_embeddings(tokens)
+    assert sent.shape == (3, 32) and tok.shape == (3, 77, 32)

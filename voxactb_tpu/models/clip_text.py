@@ -168,3 +168,57 @@ class ClipLanguageEncoder:
 
     def encode_text(self, texts):
         return self(self.tokenize(texts)[0])
+
+
+class ClipModel:
+    """Joint CLIP: image tower + text tower + temperature (clip.py:311-465).
+
+    Assembles ``ClipResNetImageEncoder`` (models/clip_image.py) and
+    :class:`ClipTextEncoder` into the reference's contrastive interface:
+    ``encode_image`` / ``encode_text`` / ``__call__`` -> similarity logits.
+    """
+
+    def __init__(self, image_encoder=None, image_params=None,
+                 text_encoder=None, text_params=None, logit_scale: float = 100.0):
+        from voxactb_tpu.models.clip_image import ClipResNetImageEncoder
+
+        self.image_encoder = image_encoder or ClipResNetImageEncoder()
+        self.text_encoder = text_encoder or ClipTextEncoder()
+        self.image_params = image_params
+        self.text_params = text_params
+        self.logit_scale = logit_scale
+        self._jit_img = jax.jit(
+            lambda p, x: self.image_encoder.apply(p, x))
+        self._jit_txt = jax.jit(self.text_encoder.apply)
+
+    def init(self, rng, image_size: int = 224):
+        r1, r2 = jax.random.split(jax.random.key(rng) if isinstance(rng, int)
+                                  else rng)
+        if self.image_params is None:
+            # NOTE: the attention-pool positional embedding is input-size dependent;
+            # init at the size you will encode at (CLIP's canonical 224 by default)
+            self.image_params = self.image_encoder.init(
+                r1, jnp.zeros((1, image_size, image_size, 3), jnp.float32))
+        if self.text_params is None:
+            self.text_params = self.text_encoder.init(
+                r2, jnp.zeros((1, CONTEXT_LENGTH), jnp.int32))
+        return self
+
+    def encode_image(self, images):
+        return self._jit_img(self.image_params, jnp.asarray(images, jnp.float32))
+
+    def encode_text(self, tokens):
+        sent, _ = self._jit_txt(self.text_params, jnp.asarray(tokens, jnp.int32))
+        return sent
+
+    def encode_text_with_embeddings(self, tokens):
+        """The VoxAct-B entry point (clip.py:426-441)."""
+        return self._jit_txt(self.text_params, jnp.asarray(tokens, jnp.int32))
+
+    def __call__(self, images, tokens):
+        img = self.encode_image(images)
+        txt = self.encode_text(tokens)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        logits_per_image = self.logit_scale * img @ txt.T
+        return logits_per_image, logits_per_image.T
