@@ -141,6 +141,8 @@ class KinematicBackend(SimBackend):
         a = self._arms[which]
         a.gripper_open = float(np.clip(open_amount, 0.0, 1.0))
         if a.gripper_open < 0.5:
+            if any(o.grasped_by == which for o in self._objects.values()):
+                return  # already holding something; re-closing grabs nothing new
             # close: grab the nearest free object within grasp range
             for o in sorted(self._objects.values(),
                             key=lambda o: np.linalg.norm(
