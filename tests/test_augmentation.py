@@ -104,6 +104,53 @@ def test_two_robot_shared_perturbation(rng):
     )
 
 
+def test_augmentation_actually_perturbs(rng):
+    """Regression: the identity fallback slot must NOT win when random candidates
+    are valid — pcds and action labels must differ from the unaugmented inputs
+    for most elements of a batch given nonzero ranges."""
+    bounds, pose, rot_grip, pcd = _setup(rng, b=16)
+    out = apply_se3_augmentation(
+        jax.random.key(7), [pcd], pose, rot_grip, bounds,
+        voxel_size=200, rot_resolution_deg=5,
+    )
+    unaug_idx = np.asarray(G.point_to_voxel_index(pose[:, :3], 200, bounds))
+    moved_action = (np.asarray(out.trans_indices) != unaug_idx).any(axis=-1)
+    moved_pcd = ~np.isclose(
+        np.asarray(out.pcds[0]), np.asarray(pcd), atol=1e-5
+    ).all(axis=(1, 2, 3))
+    # with +/-12.5%-of-scene translation at 200^3 resolution, essentially every
+    # element should move; require a clear majority to keep the test robust
+    assert moved_action.sum() >= 12, moved_action
+    assert moved_pcd.sum() >= 12, moved_pcd
+
+
+def test_identity_fallback_when_no_random_candidate_valid():
+    """Keyframes at the min corner with a single huge random draw: draws with any
+    negative axis (7/8 of them) must fall back to the identity (index stays
+    exactly [0,0,0]); valid all-positive draws must perturb. Both branches must
+    appear in a batch, and nothing may go out of bounds."""
+    b = 64
+    bounds = jnp.asarray(
+        np.tile(np.array([[-0.8, -1.0, 0.1, 1.2, 1.0, 2.1]], np.float32), (b, 1)))
+    pose = np.zeros((b, 7), np.float32)
+    pose[:, :3] = [-0.8, -1.0, 0.1]
+    pose[:, 6] = 1.0
+    rot_grip = np.zeros((b, 4), np.int32)
+    pcd = jnp.asarray(np.full((b, 2, 2, 3), 0.5, np.float32))
+    cfg = Se3AugConfig(trans_range=(0.4, 0.4, 0.4),
+                       rot_range_deg=(0, 0, 0), num_candidates=2)
+    out = apply_se3_augmentation(
+        jax.random.key(11), [pcd], jnp.asarray(pose), jnp.asarray(rot_grip),
+        bounds, voxel_size=50, rot_resolution_deg=5, cfg=cfg,
+    )
+    idx = np.asarray(out.trans_indices)
+    assert (idx >= 0).all() and (idx < 50).all()
+    n_identity = int((idx == 0).all(axis=-1).sum())
+    # E[identity] >= 7/8 * 64 = 56; E[perturbed] ~ 8. Loose bounds for robustness.
+    assert n_identity >= 32, n_identity
+    assert n_identity <= 62, n_identity
+
+
 def test_jit_compiles_once():
     import functools
     f = jax.jit(functools.partial(

@@ -11,10 +11,10 @@ import jax.numpy as jnp
 from voxactb_tpu.models.clip_text import ClipLanguageEncoder, ClipTextEncoder
 from voxactb_tpu.utils.bpe import EOT, SOT, SimpleTokenizer
 
-VOCAB_AVAILABLE = any(
-    os.path.exists(p) for p in (
-        "/root/reference/peract/helpers/clip/core/bpe_simple_vocab_16e6.txt.gz",
-    )
+# the merge table is vendored with the package; these tests require no external tree
+VOCAB_AVAILABLE = os.path.exists(
+    os.path.join(os.path.dirname(__file__), "..", "voxactb_tpu", "assets",
+                 "bpe_simple_vocab_16e6.txt.gz")
 )
 
 
@@ -37,12 +37,22 @@ def test_tokenizer_decode_roundtrip():
 
 
 def test_fallback_tokenizer_is_deterministic():
-    tok = SimpleTokenizer(bpe_path=None)
+    tok = SimpleTokenizer(allow_hash_fallback=True)
     tok._fallback = True  # force
     a = tok.tokenize("grab the handle")[0]
     b = tok.tokenize("grab the handle")[0]
     np.testing.assert_array_equal(a, b)
     assert a[0] == SOT and EOT in a
+
+
+def test_fallback_requires_explicit_opt_in(monkeypatch, tmp_path):
+    """Silently producing non-CLIP token ids is an error, not a default."""
+    import voxactb_tpu.utils.bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "_DEFAULT_VOCAB_PATHS",
+                        [str(tmp_path / "missing.gz")])
+    with pytest.raises(FileNotFoundError):
+        SimpleTokenizer()
 
 
 def test_text_encoder_shapes_and_eot_pick():

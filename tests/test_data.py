@@ -131,6 +131,36 @@ def test_fill_replay_populates_buffer(rng):
     assert (rows["reward"][~rows["terminal"]] == 0.0).all()
 
 
+def test_fill_replay_both_arms_routes_labels_per_arm(rng):
+    """Regression: which_arm='both' is right-primary — the main action keys must
+    store the RIGHT arm's discretized pose and the *_left keys the LEFT arm's."""
+    sig = bc_replay_signature(["wrist", "wrist2"], (8, 8), low_dim_size=8,
+                              two_arm=True)
+    buf = TaskUniformReplayBuffer(256, sig)
+    demos = [synth_demo(rng)]
+    bounds = [-0.8, -1.0, 0.1, 1.2, 1.0, 2.1]
+    n = fill_replay(
+        buf, demos, ["wrist", "wrist2"], bounds,
+        voxel_size=50, rotation_resolution=5, which_arm="both",
+        demo_augmentation=False,
+    )
+    assert n > 0
+    rows = buf.gather(np.arange(buf.size))
+    right_poses = rows["gripper_pose"]
+    left_poses = rows["gripper_pose_left"]
+    # left and right arms are at different random positions in the synthetic demo
+    assert not np.allclose(right_poses, left_poses)
+    for i in range(buf.size):
+        expect_r = point_to_voxel_index_np(right_poses[i, :3], 50, bounds)
+        expect_l = point_to_voxel_index_np(left_poses[i, :3], 50, bounds)
+        np.testing.assert_array_equal(rows["trans_action_indicies"][i], expect_r)
+        np.testing.assert_array_equal(
+            rows["trans_action_indicies_left"][i], expect_l)
+    # rot_grip grip bits come from each arm's own gripper state
+    assert set(np.unique(rows["rot_grip_action_indicies"][:, 3])) <= {0, 1}
+    assert (rows["rot_grip_action_indicies_left"][:, 3] == 1).all()  # left stays open
+
+
 def test_fill_multi_task_replay_threads(rng):
     sig = bc_replay_signature(["wrist", "wrist2"], (8, 8), low_dim_size=7)
     buf = TaskUniformReplayBuffer(512, sig)

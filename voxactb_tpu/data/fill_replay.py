@@ -133,8 +133,11 @@ def add_keypoints_to_replay(
                       else (0.3 if crop_radius == "auto" else crop_radius))
             bounds = scene_bounds_from_crop_np(radius, target)
 
+        # 'both' is right-primary: the main trans/rot_grip/gripper_pose keys feed the
+        # RIGHT head and the *_left keys feed the left head (launch_utils.py:89-166
+        # signature + the two-head train step's label routing)
         arm = dominant_assistive_arm or (
-            "right" if which_arm in ("right", "multiarm") else "left"
+            "right" if which_arm in ("right", "multiarm", "both") else "left"
         )
         if which_arm == "multiarm" and labels is not None:
             arm = "right" if labels[k] == 0 else "left"

@@ -81,11 +81,11 @@ class ViTLangPolicy(nn.Module):
                          (1, tokens.shape[1], self.dim))
         tokens = tokens + pos.astype(self.dtype)
         for i in range(self.depth):
-            y = nn.LayerNorm(dtype=self.dtype)(tokens)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(tokens)
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, dtype=self.dtype, name=f"attn_{i}")(y, y)
             tokens = tokens + y
-            y = nn.LayerNorm(dtype=self.dtype)(tokens)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(tokens)
             y = nn.Dense(self.dim * 4, dtype=self.dtype)(y)
             y = jax.nn.gelu(y)
             tokens = tokens + nn.Dense(self.dim, dtype=self.dtype)(y)

@@ -35,7 +35,7 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         b, t, d = y.shape
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="attn_in")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -53,7 +53,7 @@ class ResidualAttentionBlock(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="attn_out")(out)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         y = nn.Dense(4 * d, dtype=self.dtype, name="mlp_fc")(y)
         y = quick_gelu(y)
         x = x + nn.Dense(d, dtype=self.dtype, name="mlp_proj")(y)
@@ -89,7 +89,7 @@ class ClipTextEncoder(nn.Module):
                 self.width, self.heads, self.dtype, name=f"resblock_{i}"
             )(x, causal)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         token_embs = x.astype(jnp.float32)
 
         text_proj = self.param(

@@ -29,7 +29,7 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, t, d = x.shape
-        y = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x)
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, -1)
         hd = d // self.heads
@@ -45,7 +45,7 @@ class ViTBlock(nn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="proj")(o)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x)
         y = nn.Dense(4 * d, dtype=self.dtype, name="fc1")(y)
         x = x + nn.Dense(d, dtype=self.dtype, name="fc2")(quick_gelu(y))
         return x
@@ -75,12 +75,12 @@ class OwlViTImageEncoder(nn.Module):
             [jnp.broadcast_to(cls, (b, 1, self.dim)).astype(self.dtype), tokens], 1)
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, g * g + 1, self.dim))
-        tokens = nn.LayerNorm(dtype=self.dtype, name="pre_ln")(
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_ln")(
             tokens + pos.astype(self.dtype))
         for i in range(self.depth):
             tokens = ViTBlock(self.dim, self.heads, self.dtype,
                               name=f"block_{i}")(tokens)
-        tokens = nn.LayerNorm(dtype=self.dtype, name="post_ln")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_ln")(tokens)
         # OWL-ViT merges the CLS token into patch tokens multiplicatively
         cls_tok, patches = tokens[:, :1], tokens[:, 1:]
         return (patches * cls_tok).astype(jnp.float32)  # [B, g*g, dim]
@@ -95,7 +95,7 @@ class OwlViTDetector(nn.Module):
 
     def setup(self):
         self.vision = self.image_encoder or OwlViTImageEncoder(dtype=self.dtype)
-        self.merged_ln = nn.LayerNorm(dtype=self.dtype)
+        self.merged_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.class_proj = nn.Dense(self.embed_dim, use_bias=False,
                                    dtype=self.dtype)
         self.logit_shift = nn.Dense(1, dtype=self.dtype)

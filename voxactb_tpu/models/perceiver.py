@@ -89,9 +89,9 @@ class PreNormAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, *, deterministic: bool = True):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         if context is not None and self.norm_context:
-            context = nn.LayerNorm(dtype=self.dtype, name="norm_context")(context)
+            context = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_context")(context)
         return Attention(
             self.heads, self.dim_head, self.out_dim, self.dropout, self.dtype,
             name="attn",
@@ -107,7 +107,7 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         y = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype, name="w_in")(y)
         y, gates = jnp.split(y, 2, axis=-1)
         y = y * jax.nn.gelu(gates)

@@ -86,20 +86,20 @@ class TwoWayBlock(nn.Module):
     def __call__(self, tokens, image, token_pe, image_pe):
         # token self-attention
         q = tokens if self.skip_first_pe else tokens + token_pe
-        tokens = nn.LayerNorm(dtype=self.dtype)(
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             tokens + _Attn(self.dim, self.heads, dtype=self.dtype,
                            name="self_attn")(q, q, tokens))
         # token -> image cross attention
-        tokens = nn.LayerNorm(dtype=self.dtype)(
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             tokens + _Attn(self.dim, self.heads, 2, dtype=self.dtype,
                            name="cross_t2i")(tokens + token_pe,
                                              image + image_pe, image))
         # mlp
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(tokens)
-        tokens = nn.LayerNorm(dtype=self.dtype)(
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             tokens + nn.Dense(self.dim, dtype=self.dtype)(jax.nn.relu(y)))
         # image -> token cross attention
-        image = nn.LayerNorm(dtype=self.dtype)(
+        image = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             image + _Attn(self.dim, self.heads, 2, dtype=self.dtype,
                           name="cross_i2t")(image + image_pe,
                                             tokens + token_pe, tokens))
@@ -150,7 +150,7 @@ class SamMaskDecoder(nn.Module):
                                    dtype=self.dtype, name=f"block_{i}")(
                 x, image, token_pe, image_pe)
         # final token->image attention
-        x = nn.LayerNorm(dtype=self.dtype)(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             x + _Attn(self.dim, self.heads, 2, dtype=self.dtype,
                       name="final_t2i")(x + token_pe, image + image_pe, image))
 
@@ -161,7 +161,7 @@ class SamMaskDecoder(nn.Module):
         img = image.reshape(b, g, g, c)
         img = nn.ConvTranspose(self.dim // 4, (2, 2), strides=(2, 2),
                                dtype=self.dtype, name="up1")(img)
-        img = jax.nn.gelu(nn.LayerNorm(dtype=self.dtype)(img))
+        img = jax.nn.gelu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(img))
         img = nn.ConvTranspose(self.dim // 8, (2, 2), strides=(2, 2),
                                dtype=self.dtype, name="up2")(img)
         img = jax.nn.gelu(img)  # [B, 4g, 4g, dim/8]

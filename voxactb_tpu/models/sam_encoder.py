@@ -112,7 +112,7 @@ class SamBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if self.window_size > 0:
             hw = y.shape[1:3]
             y, pad_hw = window_partition(y, self.window_size)
@@ -125,7 +125,7 @@ class SamBlock(nn.Module):
             y = window_unpartition(y, self.window_size, pad_hw, hw)
         x = shortcut + y
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = jax.nn.gelu(y)
@@ -164,10 +164,10 @@ class SamImageEncoder(nn.Module):
         # neck: 1x1 conv -> LN -> 3x3 conv -> LN, to 256 channels
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
                     name="neck_conv1")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="neck_ln1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="neck_ln1")(x)
         x = nn.Conv(self.out_chans, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="neck_conv2")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="neck_ln2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="neck_ln2")(x)
         return x.astype(jnp.float32)  # [B, g, g, 256]
 
 

@@ -8,10 +8,12 @@ whole thing is one traced program:
 
 - draw ``num_candidates`` i.i.d. perturbations per batch element up front;
 - discretize all of them vectorized (geometry.py ops);
-- pick each element's FIRST in-bounds candidate (same per-element marginal distribution
-  as the reference's redraw-until-valid loop, since draws are i.i.d.);
-- candidate 0 is always the identity, so an element with no valid draw degrades to
-  "no augmentation" instead of raising after 100 attempts like the reference.
+- pick each element's FIRST in-bounds RANDOM candidate (same per-element marginal
+  distribution as the reference's redraw-until-valid loop, since draws are i.i.d. —
+  conditional on at least one of the ``num_candidates - 1`` random draws being valid);
+- candidate slot 0 is a reserved identity fallback: an element whose random draws are
+  ALL out of bounds degrades to "no augmentation" instead of raising after 100
+  attempts like the reference. Widen ``num_candidates`` if that tail matters.
 
 Out-of-bounds detection matches the reference exactly: ``point_to_voxel_index`` clamps
 only from above (helpers/utils.py:104-116), so a negative floor index is the only
@@ -142,9 +144,11 @@ def apply_se3_augmentation(
         floor_left = _unclamped_voxel_floor(t_left, voxel_size, bounds[None])
         valid &= jnp.all(floor_left >= 0, axis=-1)
 
-    # first valid candidate per element (candidate 0 = identity is always valid for
-    # in-bounds keyframes, so `chosen` is well-defined)
-    chosen = jnp.argmax(valid, axis=0)  # [B]
+    # first valid RANDOM candidate per element; identity slot 0 only as a fallback
+    # when every random draw lands out of bounds (else argmax(valid) would always
+    # return the always-valid identity and silently disable augmentation)
+    any_random_valid = jnp.any(valid[1:], axis=0)  # [B]
+    chosen = jnp.where(any_random_valid, 1 + jnp.argmax(valid[1:], axis=0), 0)
 
     def pick(x):  # [K, B, ...] -> [B, ...]
         return jnp.take_along_axis(

@@ -47,6 +47,11 @@ class NativeReplayBuffer:
                     f"replay store {path} row stride "
                     f"{self._lib.rs_row_bytes(self._handle)} != signature "
                     f"{self._row_bytes}")
+            existing_cap = int(self._lib.rs_capacity(self._handle))
+            if existing_cap != capacity:
+                raise IOError(
+                    f"replay store {path} has capacity {existing_cap}, "
+                    f"requested {capacity}; delete the file or match the size")
         else:
             self._handle = self._lib.rs_create(
                 path.encode(), capacity, self._row_bytes)

@@ -3,11 +3,12 @@
 Implements the standard public CLIP tokenization algorithm (byte->unicode mapping,
 greedy pair merging, ``<|startoftext|>``/``<|endoftext|>`` framing, context 77 —
 the behavior of peract/helpers/clip/core/simple_tokenizer.py and ``tokenize``
-clip.py:635). The merge table is DATA, loaded at runtime from a
-``bpe_simple_vocab_16e6.txt.gz`` file: pass a path, set ``VOXACTB_BPE_VOCAB``, or rely
-on the default search locations. Without a merge table a deterministic hash fallback
-keeps the pipeline runnable (token ids are stable but not CLIP-compatible — fine for
-training from scratch, wrong for loading OpenAI CLIP checkpoints).
+clip.py:635). The merge table is DATA — the public OpenAI CLIP
+``bpe_simple_vocab_16e6.txt.gz`` vendored under ``voxactb_tpu/assets/``; override with
+an explicit path or ``VOXACTB_BPE_VOCAB``. A deterministic hash fallback exists for
+vocab-free smoke runs but must be opted into with ``allow_hash_fallback=True``
+(hash ids are stable but NOT CLIP-compatible and would silently corrupt any
+pretrained-CLIP run, so it is an error by default).
 """
 
 from __future__ import annotations
@@ -27,9 +28,8 @@ EOT = 49407
 
 _DEFAULT_VOCAB_PATHS = [
     os.environ.get("VOXACTB_BPE_VOCAB", ""),
-    os.path.join(os.path.dirname(__file__), "..", "..", "assets",
+    os.path.join(os.path.dirname(__file__), "..", "assets",
                  "bpe_simple_vocab_16e6.txt.gz"),
-    "/root/reference/peract/helpers/clip/core/bpe_simple_vocab_16e6.txt.gz",
 ]
 
 
@@ -61,7 +61,8 @@ def _clean(text: str) -> str:
 
 
 class SimpleTokenizer:
-    def __init__(self, bpe_path: Optional[str] = None):
+    def __init__(self, bpe_path: Optional[str] = None,
+                 allow_hash_fallback: bool = False):
         path = bpe_path
         if path is None:
             for cand in _DEFAULT_VOCAB_PATHS:
@@ -70,6 +71,12 @@ class SimpleTokenizer:
                     break
         self._fallback = path is None
         if self._fallback:
+            if not allow_hash_fallback:
+                raise FileNotFoundError(
+                    "CLIP BPE merge table not found (looked at "
+                    f"{[p for p in _DEFAULT_VOCAB_PATHS if p]}); pass bpe_path=, "
+                    "set VOXACTB_BPE_VOCAB, or opt into the non-CLIP hash "
+                    "tokenizer with allow_hash_fallback=True")
             return
 
         with gzip.open(path, "rt", encoding="utf-8") as f:

@@ -64,11 +64,12 @@ def _stopped(demo, i, arm: str, buffer: int, delta: float) -> bool:
 
 
 def _buffer_timesteps(arm_for_buffer: str, cfg: KeypointConfig) -> int:
+    # ``use_default_stopped_buffer_timesteps`` only takes effect in the
+    # dominant/assistive scanner (handled inline there); single-arm 'left' always
+    # uses 12 in the reference (demo_loading_utils.py:88-97)
     if cfg.stopped_buffer_timesteps_overwrite:
         return cfg.stopped_buffer_timesteps_overwrite
-    if arm_for_buffer == "left" and not cfg.use_default_stopped_buffer_timesteps:
-        return 12
-    return 4
+    return 12 if arm_for_buffer == "left" else 4
 
 
 def keypoint_discovery(
