@@ -134,7 +134,7 @@ def test_sim_environment_vends_tasks():
 
 def test_validate_all_tasks():
     reports = validate_all(image_size=16)
-    assert len(reports) == 4
+    assert len(reports) == len(TASK_REGISTRY) >= 12
     assert all(r["successes"] >= 1 for r in reports)
 
 
@@ -178,3 +178,133 @@ def test_pyrep_backend_gates_cleanly():
         pytest.skip("CoppeliaSim present; adapter exercised by sim-in-the-loop runs")
     with pytest.raises(RuntimeError, match="KinematicBackend"):
         PyRepBackend("/nonexistent/scene.ttt")
+
+
+def test_pinhole_projection_consistency():
+    """Real camera model (VERDICT #4): K @ inv(E) @ world lands the target
+    object at rgb pixels of its color, and the pcd at that pixel back-projects
+    to (near) the same world point (vision_sensor.py:121-177 semantics)."""
+    env = BimanualTaskEnvironment(OpenJar, image_size=32, seed=0)
+    env.launch()
+    obs = env.reset()
+    jar = env.backend.get_object("jar")
+    expected = tuple(int(c * 255) for c in jar.color)
+    hits = 0
+    for cam in ("wrist", "wrist2"):
+        K = obs[f"{cam}_camera_intrinsics"][0]
+        E = obs[f"{cam}_camera_extrinsics"][0]
+        rel = (jar.position - E[:3, 3]) @ E[:3, :3]
+        assert rel[2] > 0, "object behind camera"
+        u = int(K[0, 0] * rel[0] / rel[2] + K[0, 2])
+        v = int(K[1, 1] * rel[1] / rel[2] + K[1, 2])
+        assert 0 <= u < 32 and 0 <= v < 32, "target projects outside image"
+        rgb = obs[f"{cam}_rgb"][0]
+        # search the 3x3 neighborhood (rounding): the jar color must be there
+        patch = rgb[max(0, v - 1):v + 2, max(0, u - 1):u + 2]
+        match = (patch == np.asarray(expected, np.uint8)).all(-1)
+        if match.any():
+            hits += 1
+            pcd = obs[f"{cam}_point_cloud"][0]
+            d = np.linalg.norm(pcd[v, u] - jar.position)
+            assert d < np.linalg.norm(jar.size) + 0.25, d
+    assert hits >= 1, "no camera saw the jar at its projected position"
+
+
+def test_pcd_backprojection_matches_depth():
+    """The published pcd must be the exact back-projection of the rendered
+    depth through the published (K, E)."""
+    from voxactb_tpu.data.rlbench_format import pointcloud_from_depth
+
+    env = BimanualTaskEnvironment(OpenDrawer, image_size=16, seed=1)
+    env.launch()
+    env.reset()
+    frame = env._frame()
+    for cam in ("wrist",):
+        pcd = getattr(frame, f"{cam}_point_cloud")
+        depth = getattr(frame, f"{cam}_depth")
+        K = frame.misc[f"{cam}_camera_intrinsics"]
+        E = frame.misc[f"{cam}_camera_extrinsics"]
+        np.testing.assert_allclose(
+            pcd, pointcloud_from_depth(depth, E, K), atol=1e-4)
+
+
+def test_planner_routes_around_obstacle():
+    from voxactb_tpu.sim.planning import plan_path, segment_hits_aabb
+
+    wall = np.array([0.2, -0.3, 0.6, 0.3, 0.3, 1.4])  # big slab in the middle
+    start, goal = np.array([0.0, 0.0, 1.0]), np.array([0.5, 0.0, 1.0])
+    assert segment_hits_aabb(start, goal, wall)
+    path = plan_path(start, goal, [wall])
+    assert path is not None
+    prev = start
+    for wp in path:
+        assert not segment_hits_aabb(prev, wp, wall, margin=0.01)
+        prev = wp
+    np.testing.assert_allclose(path[-1], goal)
+
+
+def test_step_plans_collision_aware_path_with_fallback():
+    """Blocked straight line still reaches the target; the held object is never
+    treated as an obstacle (arm_action_modes.py:388-418 semantics)."""
+    env = BimanualTaskEnvironment(HandOverItem, image_size=8, seed=3)
+    env.launch()
+    env.reset()
+    # plant a thin wall between the right arm and the cube, perpendicular to
+    # the straight-line motion, containing neither endpoint
+    arm = env.backend.arm("right")
+    cube = env.backend.get_object("cube")
+    mid = (arm.tcp_position + cube.position) / 2
+    axis = int(np.argmax(np.abs(cube.position - arm.tcp_position)))
+    size = np.full(3, 0.35)
+    size[axis] = 0.04
+    env.backend.add_object(SceneObject(
+        "wall", mid, size=size, color=(0.1, 0.1, 0.1), static=True))
+    wall_box = env.backend.get_object("wall").aabb()
+    for p in (arm.tcp_position, cube.position):
+        assert not ((p >= wall_box[:3]).all() and (p <= wall_box[3:]).all())
+    positions = []
+    orig_move = env.backend.move_arm_towards
+
+    def spy(which, pos, quat, max_step=0.05):
+        reached = orig_move(which, pos, quat, max_step=max_step)
+        positions.append(env.backend.arm("right").tcp_position.copy())
+        return reached
+
+    env.backend.move_arm_towards = spy
+    t = env.step(np.r_[cube.position, 0, 0, 0, 1, 0.0, 0.0], "right")
+    assert np.linalg.norm(env.backend.arm("right").tcp_position
+                          - cube.position) < 1e-6
+    # the path detoured: some intermediate position is clearly off the
+    # straight start->goal segment
+    wall = env.backend.get_object("wall").aabb()
+    inside = [p for p in positions
+              if (p >= wall[:3] - 0.01).all() and (p <= wall[3:] + 0.01).all()]
+    assert not inside, f"TCP passed through the wall: {inside[:3]}"
+    # ignore_collisions bit (action[8]=1) goes straight through
+    env.reset()
+    env.backend.add_object(SceneObject(
+        "wall", mid, size=np.array([0.3, 0.3, 0.6]), color=(0.1, 0.1, 0.1),
+        static=True))
+    t = env.step(np.r_[cube.position, 0, 0, 0, 1, 0.0, 1.0], "right")
+    assert t is not None
+
+
+def test_registry_has_twelve_tasks():
+    assert len(TASK_REGISTRY) >= 12
+    assert {"open_jar_different_appearance", "open_drawer_different_appearance",
+            "close_jar", "close_drawer", "take_item_out_of_drawer",
+            "open_jar_two_arms", "sweep_to_dustpan",
+            "straighten_rope"} <= set(TASK_REGISTRY)
+
+
+def test_different_appearance_cycles(rng):
+    from voxactb_tpu.sim.tasks import OpenJarDifferentAppearance
+
+    env = BimanualTaskEnvironment(OpenJarDifferentAppearance, image_size=8)
+    env.launch()
+    colors = set()
+    for v in range(6):
+        env.set_variation(v)
+        env.reset()
+        colors.add(env.backend.get_object("jar").color)
+    assert len(colors) == 3  # three appearances cycled over six variations

@@ -42,43 +42,185 @@ class SimObservation:
         raise AttributeError(item)
 
 
+def look_at_extrinsics(eye, target) -> np.ndarray:
+    """Camera-to-world 4x4 for a camera at ``eye`` looking at ``target``.
+
+    Frame convention matches RLBench's VisionSensor (vision_sensor.py:155-177 and
+    ``pointcloud_from_depth``): +z = optical axis (forward), +x = image right,
+    +y = image down; extrinsics columns are those axes in world frame, translation
+    is the camera center.
+    """
+    eye = np.asarray(eye, np.float64)
+    forward = np.asarray(target, np.float64) - eye
+    forward /= np.linalg.norm(forward) + 1e-12
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(forward @ up) > 0.99:  # looking straight up/down: pick another up
+        up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up, forward)
+    right /= np.linalg.norm(right) + 1e-12
+    down = np.cross(forward, right)  # completes a proper right-handed rotation
+    ext = np.eye(4)
+    ext[:3, 0], ext[:3, 1], ext[:3, 2], ext[:3, 3] = right, down, forward, eye
+    return ext
+
+
 class SceneRenderer:
-    """Synthetic camera rig: splats scene objects + gripper markers into RGB-D."""
+    """Pinhole camera rig over the kinematic scene.
+
+    A real (if minimal) camera model replacing round-1's block splats: every
+    camera has true intrinsics K and camera-to-world extrinsics E; object surface
+    points are projected through ``K @ inv(E)`` into a z-buffer, and the published
+    point cloud is back-projected from the rendered depth with the SAME (K, E) —
+    so rgb pixels, depth, and pcd are mutually consistent and consistent with the
+    camera parameters in ``misc`` (the property ``fill_replay``/voxelize rely on;
+    reference: pyrep/objects/vision_sensor.py:121-177).
+
+    Rig mirrors Scene2Robots' cameras (scene_two_robots.py:57-62): ``front`` is a
+    static camera facing the workspace; ``wrist``/``wrist2`` ride the right/left
+    gripper, looking at the workspace center from wherever the TCP is.
+    """
+
+    FAR = 4.0           # background depth (m)
+    BG_COLOR = (110, 110, 110)
 
     def __init__(self, cameras: Sequence[str], image_size: int, workspace):
         self.cameras = tuple(cameras)
-        self.img = image_size
-        self.ws = np.asarray(workspace, np.float32)
+        self.img = int(image_size)
+        self.ws = np.asarray(workspace, np.float64)
+        self.center = (self.ws[:3] + self.ws[3:]) / 2.0
+        f = float(self.img)  # ~53 deg horizontal FOV
+        self.intrinsics = np.array(
+            [[f, 0.0, self.img / 2.0], [0.0, f, self.img / 2.0], [0.0, 0.0, 1.0]])
+        extent = float(np.max(self.ws[3:] - self.ws[:3]))
+        # far enough back that the full workspace fits in the FOV
+        off = np.array([0.0, -1.0, 0.55])
+        self._front_eye = self.center + off / np.linalg.norm(off) * (1.3 * extent)
 
-    def render(self, backend: SimBackend, rng) -> Dict[str, np.ndarray]:
+    def camera_extrinsics(self, backend: SimBackend) -> Dict[str, np.ndarray]:
+        exts = {}
+        for cam in self.cameras:
+            if cam == "wrist":
+                tcp = backend.arm("right").tcp_position
+                eye = tcp + np.array([0.05, 0.05, 0.30])
+            elif cam == "wrist2":
+                tcp = backend.arm("left").tcp_position
+                eye = tcp + np.array([-0.05, 0.05, 0.30])
+            else:  # 'front' and any extra static cameras
+                eye = self._front_eye
+            exts[cam] = look_at_extrinsics(eye, self.center)
+        return exts
+
+    def _scene_points(self, backend: SimBackend):
+        """Surface point samples (+colors) of every object, the table, and
+        gripper markers at each TCP."""
+        pts, cols = [], []
+
+        def cuboid(center, half, color, m=8):
+            lin = np.linspace(-1.0, 1.0, m)
+            u, v = np.meshgrid(lin, lin, indexing="ij")
+            u, v = u.ravel(), v.ravel()
+            ones = np.ones_like(u)
+            for axis, sign in ((0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)):
+                f = np.empty((u.size, 3))
+                f[:, axis] = sign * ones
+                f[:, (axis + 1) % 3] = u
+                f[:, (axis + 2) % 3] = v
+                pts.append(center + f * half)
+                cols.append(np.broadcast_to(np.asarray(color, np.uint8),
+                                            (u.size, 3)))
+
+        # table: only the top face matters visually — one planar sample
+        m = 32
+        lin = np.linspace(0.0, 1.0, m)
+        gx, gy = np.meshgrid(self.ws[0] + lin * (self.ws[3] - self.ws[0]),
+                             self.ws[1] + lin * (self.ws[4] - self.ws[1]),
+                             indexing="ij")
+        table = np.stack([gx.ravel(), gy.ravel(),
+                          np.full(m * m, self.ws[2])], -1)
+        pts.append(table)
+        cols.append(np.broadcast_to(np.asarray((140, 120, 100), np.uint8),
+                                    (m * m, 3)))
+
+        for name in backend.object_names():
+            obj = backend.get_object(name)
+            color = tuple(int(c * 255) for c in obj.color)
+            cuboid(obj.position, np.maximum(obj.size / 2, 0.004), color, m=8)
+        for arm_name in ARMS:
+            arm = backend.arm(arm_name)
+            cuboid(arm.tcp_position, np.full(3, 0.015), (40, 40, 220), m=4)
+        return np.concatenate(pts, 0), np.concatenate(cols, 0)
+
+    def render(self, backend: SimBackend, rng=None) -> Dict[str, np.ndarray]:
+        from voxactb_tpu.data.rlbench_format import pointcloud_from_depth
+
+        world, colors = self._scene_points(backend)
+        exts = self.camera_extrinsics(backend)
         out = {}
-        for cam_i, cam in enumerate(self.cameras):
-            rgb = np.full((self.img, self.img, 3), 110, np.uint8)
-            # table plane cloud
-            xs = rng.uniform(self.ws[0], self.ws[3], (self.img, self.img))
-            ys = rng.uniform(self.ws[1], self.ws[4], (self.img, self.img))
-            zs = np.full((self.img, self.img), self.ws[2])
-            pcd = np.stack([xs, ys, zs], -1).astype(np.float32)
-            # splat objects into deterministic blocks
-            block = max(2, self.img // 8)
-            items = [backend.get_object(n) for n in backend.object_names()]
-            items += [backend.arm(a) for a in ARMS]
-            for k, obj in enumerate(items):
-                r0 = (k * block) % (self.img - block)
-                c0 = ((k + cam_i) * 2 * block) % (self.img - block)
-                pos = getattr(obj, "position", None)
-                if pos is None:
-                    pos = obj.tcp_position
-                    color, size = (40, 40, 220), 0.02
-                else:
-                    color = tuple(int(c * 255) for c in obj.color)
-                    size = float(obj.size.max() / 2)
-                pts = pos + rng.uniform(-size, size, (block, block, 3))
-                pcd[r0:r0 + block, c0:c0 + block] = pts
-                rgb[r0:r0 + block, c0:c0 + block] = color
+        for cam in self.cameras:
+            ext = exts[cam]
+            r, c_ = ext[:3, :3], ext[:3, 3]
+            cam_pts = (world - c_) @ r  # R^T (x - C): world -> camera frame
+            z = cam_pts[:, 2]
+            vis = z > 1e-3
+            uv = cam_pts[vis, :2] / z[vis, None]
+            u = (self.intrinsics[0, 0] * uv[:, 0] + self.intrinsics[0, 2])
+            v = (self.intrinsics[1, 1] * uv[:, 1] + self.intrinsics[1, 2])
+            ui, vi = u.astype(np.int64), v.astype(np.int64)
+            inside = (ui >= 0) & (ui < self.img) & (vi >= 0) & (vi < self.img)
+            ui, vi = ui[inside], vi[inside]
+            zs = z[vis][inside]
+            cs = colors[vis][inside]
+
+            depth = np.full((self.img, self.img), self.FAR, np.float64)
+            rgb = np.empty((self.img, self.img, 3), np.uint8)
+            rgb[:] = self.BG_COLOR
+            # z-buffer: sort far-to-near so the nearest write wins
+            order = np.argsort(-zs)
+            depth[vi[order], ui[order]] = zs[order]
+            rgb[vi[order], ui[order]] = cs[order]
+
             out[f"{cam}_rgb"] = rgb
-            out[f"{cam}_point_cloud"] = pcd
+            out[f"{cam}_depth"] = depth.astype(np.float32)
+            out[f"{cam}_point_cloud"] = pointcloud_from_depth(
+                depth.astype(np.float32), ext, self.intrinsics)
+            out[f"{cam}_camera_extrinsics"] = ext.astype(np.float32)
+            out[f"{cam}_camera_intrinsics"] = self.intrinsics.astype(np.float32)
         return out
+
+
+_LANG_ENC = None
+_LANG_CACHE: Dict[str, tuple] = {}
+
+
+def default_sim_language_encoder():
+    """Process-wide real CLIP text encoding for sim observations, cached per
+    description (replaces round-1's hash-noise embeddings). The tower is the
+    repo's own ClipTextEncoder at a small depth: deterministic, genuinely
+    language-conditioned (different descriptions -> different embeddings through
+    a real tokenizer + transformer), cheap enough for the 1-CPU test box.
+    Reference behavior: launch_utils.py:384-400 CLIP-encodes every description."""
+
+    def encode(text: str):
+        global _LANG_ENC
+        if text not in _LANG_CACHE:
+            if _LANG_ENC is None:
+                import jax
+                import jax.numpy as jnp
+
+                from voxactb_tpu.models.clip_text import ClipTextEncoder
+                from voxactb_tpu.utils.bpe import SimpleTokenizer
+
+                model = ClipTextEncoder(layers=2)
+                params = model.init(
+                    jax.random.key(0), jnp.zeros((1, 77), jnp.int32))
+                _LANG_ENC = (jax.jit(model.apply), params, SimpleTokenizer())
+            apply, params, tok = _LANG_ENC
+            sent, tok_embs = apply(params, tok.tokenize(text))
+            _LANG_CACHE[text] = (np.asarray(sent[0], np.float32),
+                                 np.asarray(tok_embs[0], np.float32))
+        return _LANG_CACHE[text]
+
+    return encode
 
 
 class BimanualTaskEnvironment(BimanualEnv):
@@ -87,10 +229,11 @@ class BimanualTaskEnvironment(BimanualEnv):
     def __init__(self, task_cls, backend: Optional[SimBackend] = None,
                  cameras=("wrist", "wrist2"), image_size: int = 32,
                  episode_length: int = 25, seed: int = 0,
-                 max_tick_per_action: int = 40):
+                 max_tick_per_action: int = 40, lang_encoder=None):
         self.backend = backend or KinematicBackend(seed)
         self.task: BimanualTask = task_cls(self.backend)
         self.task.init_task()
+        self._lang_encoder = lang_encoder or default_sim_language_encoder()
         self._renderer = SceneRenderer(cameras, image_size,
                                        KinematicBackend.workspace)
         self._cameras = tuple(cameras)
@@ -133,18 +276,38 @@ class BimanualTaskEnvironment(BimanualEnv):
                else "right"}.get(which_arm, which_arm)
 
         pos, quat, grip = action[:3], action[3:7], float(action[7])
+        ignore_collisions = bool(action[8]) if action.shape[-1] > 8 else False
         ws = KinematicBackend.workspace
         if np.any(pos < ws[:3]) or np.any(pos > ws[3:]):
             # workspace bound check (arm_action_modes.py:324)
             raise InvalidActionError(
                 f"target {pos} outside workspace bounds {ws}")
 
+        # plan a path with collision checking; on failure fall back to planning
+        # without it (arm_action_modes.py:388-418's try/except semantics). The
+        # object this arm is holding rides the TCP and is never an obstacle.
+        waypoints = [pos]
+        if not ignore_collisions:
+            from voxactb_tpu.sim.planning import plan_path
+
+            obstacles = [
+                o.aabb() for name in self.backend.object_names()
+                for o in [self.backend.get_object(name)]
+                if o.grasped_by != arm
+            ]
+            planned = plan_path(self.backend.arm(arm).tcp_position, pos,
+                                obstacles)
+            if planned is not None:
+                waypoints = planned
+
         # stepped path execution loop (arm_action_modes.py:425-435)
-        for _ in range(self._max_tick):
-            reached = self.backend.move_arm_towards(arm, pos, quat, max_step=0.05)
-            self.backend.step()
-            if reached:
-                break
+        for wp in waypoints:
+            for _ in range(self._max_tick):
+                reached = self.backend.move_arm_towards(
+                    arm, wp, quat, max_step=0.05)
+                self.backend.step()
+                if reached:
+                    break
         self.backend.set_gripper(arm, grip)
         self.backend.step()
 
@@ -164,14 +327,13 @@ class BimanualTaskEnvironment(BimanualEnv):
                ) -> SimObservation:
         """One Observation2Robots-shaped frame from current backend state."""
         o = SimObservation()
-        cams = self._renderer.render(self.backend, self._rng)
-        for k, v in cams.items():
-            setattr(o, k, v)
+        cams = self._renderer.render(self.backend)
         for cam in self._cameras:
-            o.misc[f"{cam}_camera_extrinsics"] = np.eye(4, dtype=np.float32)
-            o.misc[f"{cam}_camera_intrinsics"] = np.array(
-                [[110.0, 0, self._renderer.img / 2],
-                 [0, 110.0, self._renderer.img / 2], [0, 0, 1]], np.float32)
+            setattr(o, f"{cam}_rgb", cams[f"{cam}_rgb"])
+            setattr(o, f"{cam}_depth", cams[f"{cam}_depth"])
+            setattr(o, f"{cam}_point_cloud", cams[f"{cam}_point_cloud"])
+            o.misc[f"{cam}_camera_extrinsics"] = cams[f"{cam}_camera_extrinsics"]
+            o.misc[f"{cam}_camera_intrinsics"] = cams[f"{cam}_camera_intrinsics"]
         for arm in ARMS:
             a = self.backend.arm(arm)
             vel = (velocities or {}).get(arm, a.joint_velocity_norm)
@@ -217,13 +379,25 @@ class BimanualTaskEnvironment(BimanualEnv):
         obs["gripper_right_pose"] = o.gripper_right_pose
         obs["gripper_left_pose"] = o.gripper_left_pose
         obs["lang_goal"] = self._descriptions[0]
-        seed = abs(hash(self._descriptions[0])) % (2 ** 31)
-        lrng = np.random.default_rng(seed)
-        obs["lang_goal_emb"] = lrng.normal(size=(1024,)).astype(np.float32)
-        obs["lang_token_embs"] = lrng.normal(size=(77, 512)).astype(np.float32)
+        sent, tok = self._lang_encoder(self._descriptions[0])
+        obs["lang_goal_emb"] = sent
+        obs["lang_token_embs"] = tok
         return obs
 
+    def preposition_step(self, action, which_arm: str) -> Transition:
+        """VoxPoser prologue motion: moves arms but does not consume the learned
+        policy's episode budget (envs/base.py contract)."""
+        count = self._step_count
+        try:
+            return self.step(action, which_arm)
+        finally:
+            self._step_count = count
+
     # -- VoxAct-B hooks -------------------------------------------------------------------
+
+    @property
+    def task_name(self) -> str:
+        return type(self.task).__name__
 
     def target_object_world_coords(self):
         name = self.task.target_object_name()
@@ -279,9 +453,11 @@ class SimEnvironment:
     """Environment2Robots counterpart: boots a backend and vends task sessions."""
 
     def __init__(self, cameras=("wrist", "wrist2"), image_size: int = 32,
-                 episode_length: int = 25, seed: int = 0, headless: bool = True):
+                 episode_length: int = 25, seed: int = 0, headless: bool = True,
+                 lang_encoder=None):
         self._kw = dict(cameras=cameras, image_size=image_size,
-                        episode_length=episode_length, seed=seed)
+                        episode_length=episode_length, seed=seed,
+                        lang_encoder=lang_encoder)
         self._launched = False
 
     def launch(self) -> None:

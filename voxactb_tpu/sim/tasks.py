@@ -16,6 +16,7 @@ import numpy as np
 
 from voxactb_tpu.sim.backend import SceneObject
 from voxactb_tpu.sim.conditions import (
+    Condition,
     GraspedCondition,
     ObjectAboveCondition,
     ObjectDisplacedCondition,
@@ -246,6 +247,360 @@ class HandOverItem(BimanualTask):
         ]
 
 
+class OpenJarDifferentAppearance(OpenJar):
+    """Rebuttal-experiment variant: jars of different appearances cycled per
+    episode (rollout_generator.py:27-42 swaps task_design_open_jar{,_4084,_4403}
+    .ttt scenes; here the jar's color/scale cycles with the variation index)."""
+
+    name = "open_jar_different_appearance"
+    num_variations = 6  # 2 sides x 3 appearances
+
+    APPEARANCES = [  # (jar color, lid color, scale) per 'scene file'
+        ((0.9, 0.1, 0.1), (0.2, 0.2, 0.9), 1.00),
+        ((0.2, 0.6, 0.9), (0.9, 0.8, 0.1), 1.15),   # open_jar_4084 analogue
+        ((0.15, 0.7, 0.3), (0.7, 0.2, 0.7), 0.85),  # open_jar_4403 analogue
+    ]
+
+    def init_episode(self, variation: int, rng) -> List[str]:
+        desc = super().init_episode(variation % 2, rng)
+        jar_color, lid_color, scale = self.APPEARANCES[
+            (variation // 2) % len(self.APPEARANCES)]
+        jar = self.backend.get_object("jar")
+        lid = self.backend.get_object("lid")
+        jar.color, lid.color = jar_color, lid_color
+        jar.size = jar.size * scale
+        lid.size = lid.size * scale
+        return desc
+
+
+class OpenDrawerDifferentAppearance(OpenDrawer):
+    """Rebuttal variant: drawer cabinets with different textures
+    (task_design_open_drawer_texture{2,3}.ttt analogues)."""
+
+    name = "open_drawer_different_appearance"
+    num_variations = 6
+
+    APPEARANCES = [
+        ((0.5, 0.35, 0.2), (0.8, 0.8, 0.2)),
+        ((0.25, 0.25, 0.3), (0.9, 0.5, 0.1)),  # texture2 analogue
+        ((0.7, 0.65, 0.55), (0.3, 0.3, 0.9)),  # texture3 analogue
+    ]
+
+    def init_episode(self, variation: int, rng) -> List[str]:
+        desc = super().init_episode(variation % 2, rng)
+        cab_color, handle_color = self.APPEARANCES[
+            (variation // 2) % len(self.APPEARANCES)]
+        self.backend.get_object("cabinet").color = cab_color
+        self.backend.get_object("bottom_handle").color = handle_color
+        return desc
+
+
+class CloseJar(BimanualTask):
+    """Assistive steadies the jar; dominant fetches the lid and screws it back on
+    (rlbench/tasks/close_jar.py, bimanual-ified like open_jar)."""
+
+    name = "close_jar"
+    num_variations = 2
+
+    def init_task(self) -> None:
+        pass
+
+    def init_episode(self, variation: int, rng) -> List[str]:
+        self.backend.remove_all_objects()
+        side = -1.0 if variation % 2 == 0 else 1.0
+        jar_pos = np.array([rng.uniform(0.15, 0.45),
+                            side * rng.uniform(0.1, 0.35), TABLE_Z + 0.05])
+        lid_pos = np.array([rng.uniform(0.15, 0.45),
+                            side * rng.uniform(0.0, 0.08), TABLE_Z + 0.01])
+        self.backend.add_object(SceneObject(
+            "jar", jar_pos, size=np.array([0.08, 0.08, 0.10]),
+            color=(0.9, 0.1, 0.1)))
+        self.backend.add_object(SceneObject(
+            "lid", lid_pos, size=np.array([0.09, 0.09, 0.02]),
+            color=(0.2, 0.2, 0.9)))
+        self._dominant = "right" if side < 0 else "left"
+        self._jar_top = jar_pos + [0, 0, 0.07]
+        self.register_success_conditions([
+            DetectedCondition("lid", self._jar_top, np.array([0.05, 0.05, 0.05])),
+            GraspedCondition("jar", _assistive(self._dominant)),
+        ])
+        d = self._dominant
+        return [f"hold the jar with {_assistive(d)} hand and screw the lid back "
+                f"on the jar with {d} hand in a clockwise direction"]
+
+    def target_object_name(self):
+        return "jar"
+
+    def dominant_arm(self) -> str:
+        return self._dominant
+
+    def get_waypoints(self, dominant_arm: str) -> List[Waypoint]:
+        jar = self.backend.get_object("jar")
+        lid = self.backend.get_object("lid")
+        a, d = _assistive(dominant_arm), dominant_arm
+        return [
+            Waypoint(a, jar.position + [0, 0, 0.12], DOWN, 1.0, label="approach_jar"),
+            Waypoint(a, jar.position, DOWN, 0.0, label="steady_jar"),
+            Waypoint(d, lid.position + [0, 0, 0.10], DOWN, 1.0, label="approach_lid"),
+            Waypoint(d, lid.position, DOWN, 0.0, label="grasp_lid"),
+            Waypoint(d, self._jar_top + [0, 0, 0.10], DOWN, None, label="carry_lid"),
+            Waypoint(d, self._jar_top, DOWN, None, label="seat_lid"),
+            Waypoint(d, self._jar_top, DOWN, 1.0, dwell=5, label="screw_release"),
+        ]
+
+
+class CloseDrawer(BimanualTask):
+    """Assistive steadies the cabinet; dominant pushes the open drawer shut
+    (rlbench/tasks/close_drawer.py)."""
+
+    name = "close_drawer"
+    num_variations = 2
+
+    def init_task(self) -> None:
+        pass
+
+    def init_episode(self, variation: int, rng) -> List[str]:
+        self.backend.remove_all_objects()
+        facing = -1.0 if variation % 2 == 0 else 1.0
+        base = np.array([rng.uniform(0.2, 0.4), rng.uniform(-0.1, 0.1),
+                         TABLE_Z + 0.12])
+        self.backend.add_object(SceneObject(
+            "cabinet", base, size=np.array([0.25, 0.3, 0.25]),
+            color=(0.5, 0.35, 0.2), static=True))
+        # drawer starts pulled OUT by 0.18 along the facing axis
+        handle_pos = base + [0.0, facing * (0.18 + 0.18), -0.06]
+        self.backend.add_object(SceneObject(
+            "bottom_handle", handle_pos, size=np.full(3, 0.03),
+            color=(0.8, 0.8, 0.2)))
+        self._dominant = "right" if facing < 0 else "left"
+        self._closed_pos = base + [0.0, facing * 0.18, -0.06]
+        self.register_success_conditions([
+            DetectedCondition("bottom_handle", self._closed_pos,
+                              np.array([0.06, 0.06, 0.06])),
+        ])
+        d = self._dominant
+        return [f"hold the drawer with {_assistive(d)} hand and close the bottom "
+                f"drawer with {d} hand"]
+
+    def target_object_name(self):
+        return "bottom_handle"
+
+    def dominant_arm(self) -> str:
+        return self._dominant
+
+    def get_waypoints(self, dominant_arm: str) -> List[Waypoint]:
+        cab = self.backend.get_object("cabinet")
+        handle = self.backend.get_object("bottom_handle")
+        a, d = _assistive(dominant_arm), dominant_arm
+        return [
+            Waypoint(a, cab.position + [0, 0, 0.20], DOWN, 1.0, label="hold_top"),
+            Waypoint(a, cab.position + [0, 0, 0.14], DOWN, 0.0, label="press_top"),
+            Waypoint(d, handle.position + [0, 0, 0.08], DOWN, 1.0,
+                     label="approach_handle"),
+            Waypoint(d, handle.position, DOWN, 0.0, label="grasp_handle"),
+            Waypoint(d, self._closed_pos, DOWN, None, label="push_shut"),
+            Waypoint(d, self._closed_pos, DOWN, 1.0, dwell=5, label="release"),
+        ]
+
+
+class TakeItemOutOfDrawer(BimanualTask):
+    """Dominant pulls the drawer open; assistive lifts the item out
+    (rlbench/tasks/take_item_out_of_drawer.py)."""
+
+    name = "take_item_out_of_drawer"
+    num_variations = 2
+
+    def init_task(self) -> None:
+        pass
+
+    def init_episode(self, variation: int, rng) -> List[str]:
+        self.backend.remove_all_objects()
+        facing = -1.0 if variation % 2 == 0 else 1.0
+        base = np.array([rng.uniform(0.2, 0.4), rng.uniform(-0.1, 0.1),
+                         TABLE_Z + 0.12])
+        self.backend.add_object(SceneObject(
+            "cabinet", base, size=np.array([0.25, 0.3, 0.25]),
+            color=(0.5, 0.35, 0.2), static=True))
+        handle_pos = base + [0.0, facing * 0.18, -0.06]
+        self.backend.add_object(SceneObject(
+            "bottom_handle", handle_pos, size=np.full(3, 0.03),
+            color=(0.8, 0.8, 0.2)))
+        # the item sits in the (conceptual) drawer, next to the handle
+        self.backend.add_object(SceneObject(
+            "item", handle_pos + [0.06, 0.0, 0.0], size=np.full(3, 0.035),
+            color=(0.2, 0.8, 0.2)))
+        self._dominant = "right" if facing < 0 else "left"
+        self.register_success_conditions([
+            ObjectAboveCondition("item", TABLE_Z + 0.25),
+            GraspedCondition("item", _assistive(self._dominant)),
+        ])
+        d = self._dominant
+        return [f"open the bottom drawer with {d} hand and take the item out of "
+                f"the drawer with {_assistive(d)} hand"]
+
+    def target_object_name(self):
+        return "item"
+
+    def dominant_arm(self) -> str:
+        return self._dominant
+
+    def get_waypoints(self, dominant_arm: str) -> List[Waypoint]:
+        cab = self.backend.get_object("cabinet")
+        handle = self.backend.get_object("bottom_handle")
+        item = self.backend.get_object("item")
+        a, d = _assistive(dominant_arm), dominant_arm
+        pull = np.array([0.0, np.sign(handle.position[1] - cab.position[1]), 0.0])
+        return [
+            Waypoint(d, handle.position + pull * 0.08, DOWN, 1.0,
+                     label="approach_handle"),
+            Waypoint(d, handle.position, DOWN, 0.0, label="grasp_handle"),
+            Waypoint(d, handle.position + pull * 0.18, DOWN, 1.0,
+                     label="pull_open"),
+            Waypoint(a, item.position + [0, 0, 0.10], DOWN, 1.0,
+                     label="approach_item"),
+            Waypoint(a, item.position, DOWN, 0.0, label="grasp_item"),
+            Waypoint(a, item.position + [0, 0, 0.30], DOWN, None, label="lift_out"),
+        ]
+
+
+class OpenJarTwoArms(OpenJar):
+    """The 'both' arm-mode jar task (rlbench/tasks/open_jar_two_arms.py): same
+    scene and demo script, but the policy contract is fixed right/left
+    alternation instead of dominant/assistive."""
+
+    name = "open_jar_two_arms"
+
+
+class SweepToDustpan(BimanualTask):
+    """One arm holds the dustpan; the other sweeps the dirt block into it
+    (rlbench/tasks/sweep_to_dustpan.py, naturally bimanual here)."""
+
+    name = "sweep_to_dustpan"
+    num_variations = 2
+
+    def init_task(self) -> None:
+        pass
+
+    def init_episode(self, variation: int, rng) -> List[str]:
+        self.backend.remove_all_objects()
+        side = -1.0 if variation % 2 == 0 else 1.0
+        pan_pos = np.array([rng.uniform(0.2, 0.4),
+                            side * rng.uniform(0.2, 0.35), TABLE_Z + 0.02])
+        dirt_pos = np.array([rng.uniform(0.2, 0.45),
+                             -side * rng.uniform(0.1, 0.3), TABLE_Z + 0.01])
+        self.backend.add_object(SceneObject(
+            "dustpan", pan_pos, size=np.array([0.12, 0.12, 0.03]),
+            color=(0.3, 0.3, 0.35), static=True))
+        self.backend.add_object(SceneObject(
+            "dirt", dirt_pos, size=np.full(3, 0.025), color=(0.45, 0.3, 0.15)))
+        self.backend.add_object(SceneObject(
+            "broom", dirt_pos + [0.0, -side * 0.12, 0.0],
+            size=np.array([0.03, 0.03, 0.15]), color=(0.9, 0.7, 0.2)))
+        # the arm nearest the dustpan holds it; the other sweeps (dominant)
+        self._dominant = "right" if side > 0 else "left"
+        self.register_success_conditions([
+            DetectedCondition("dirt", pan_pos + [0, 0, 0.02],
+                              np.array([0.08, 0.08, 0.06])),
+        ])
+        d = self._dominant
+        return [f"hold the dustpan with {_assistive(d)} hand and sweep the dirt "
+                f"into it with {d} hand"]
+
+    def target_object_name(self):
+        return "dustpan"
+
+    def dominant_arm(self) -> str:
+        return self._dominant
+
+    def get_waypoints(self, dominant_arm: str) -> List[Waypoint]:
+        pan = self.backend.get_object("dustpan")
+        dirt = self.backend.get_object("dirt")
+        a, d = _assistive(dominant_arm), dominant_arm
+        drop = pan.position + [0, 0, 0.04]
+        return [
+            Waypoint(a, pan.position + [0, 0, 0.10], DOWN, 1.0, label="reach_pan"),
+            Waypoint(a, pan.position + [0, 0, 0.04], DOWN, 0.0, label="hold_pan"),
+            Waypoint(d, dirt.position + [0, 0, 0.08], DOWN, 1.0,
+                     label="approach_dirt"),
+            Waypoint(d, dirt.position, DOWN, 0.0, label="catch_dirt"),
+            Waypoint(d, drop, DOWN, None, label="sweep"),
+            Waypoint(d, drop, DOWN, 1.0, dwell=5, label="deposit"),
+        ]
+
+
+class StraightenRope(BimanualTask):
+    """Both arms pull opposite rope ends apart until the rope is taut
+    (rlbench/tasks/straighten_rope.py — the genuinely two-handed task)."""
+
+    name = "straighten_rope"
+    num_variations = 2
+
+    ROPE_LENGTH = 0.5
+
+    def init_task(self) -> None:
+        pass
+
+    def init_episode(self, variation: int, rng) -> List[str]:
+        self.backend.remove_all_objects()
+        mid = np.array([rng.uniform(0.25, 0.4), rng.uniform(-0.05, 0.05),
+                        TABLE_Z + 0.02])
+        # crumpled rope: ends start close together
+        gap = 0.12
+        self.backend.add_object(SceneObject(
+            "rope_head", mid + [0.0, gap / 2, 0.0], size=np.full(3, 0.03),
+            color=(0.9, 0.9, 0.9)))
+        self.backend.add_object(SceneObject(
+            "rope_tail", mid + [0.0, -gap / 2, 0.0], size=np.full(3, 0.03),
+            color=(0.6, 0.6, 0.6)))
+        self._dominant = "right" if variation % 2 == 0 else "left"
+        self._mid = mid
+
+        class _TautCondition(Condition):
+            def __init__(self, length):
+                self._length = length
+
+            def satisfied(self, backend) -> bool:
+                head = backend.get_object("rope_head").position
+                tail = backend.get_object("rope_tail").position
+                return float(np.linalg.norm(head - tail)) >= self._length * 0.9
+
+        self.register_success_conditions([_TautCondition(self.ROPE_LENGTH)])
+        return ["straighten the rope by pulling its two ends apart with "
+                "both hands"]
+
+    def target_object_name(self):
+        return "rope_head"
+
+    def dominant_arm(self) -> str:
+        return self._dominant
+
+    def get_waypoints(self, dominant_arm: str) -> List[Waypoint]:
+        head = self.backend.get_object("rope_head")
+        tail = self.backend.get_object("rope_tail")
+        # left arm takes the +y end, right the -y end, regardless of dominance
+        left_end, right_end = (head, tail) if head.position[1] > \
+            tail.position[1] else (tail, head)
+        stretch = self.ROPE_LENGTH / 2
+        return [
+            Waypoint("left", left_end.position + [0, 0, 0.08], DOWN, 1.0,
+                     label="approach_left_end"),
+            Waypoint("left", left_end.position, DOWN, 0.0, label="grasp_left_end"),
+            Waypoint("right", right_end.position + [0, 0, 0.08], DOWN, 1.0,
+                     label="approach_right_end"),
+            Waypoint("right", right_end.position, DOWN, 0.0,
+                     label="grasp_right_end"),
+            Waypoint("left", self._mid + [0, stretch, 0.02], DOWN, None,
+                     label="pull_left"),
+            Waypoint("right", self._mid + [0, -stretch, 0.02], DOWN, None,
+                     label="pull_right"),
+        ]
+
+
 TASK_REGISTRY = {
-    t.name: t for t in (OpenJar, OpenDrawer, PutItemInDrawer, HandOverItem)
+    t.name: t for t in (
+        OpenJar, OpenDrawer, PutItemInDrawer, HandOverItem,
+        OpenJarDifferentAppearance, OpenDrawerDifferentAppearance,
+        CloseJar, CloseDrawer, TakeItemOutOfDrawer, OpenJarTwoArms,
+        SweepToDustpan, StraightenRope,
+    )
 }
