@@ -62,3 +62,23 @@ def test_log_writer_writes_scalars(tmp_path):
         rows = list(csv.DictReader(f))
     assert rows[0]["losses/total"] == "2.5"
     assert float(rows[0]["losses/rot"]) == 1.25
+
+
+def test_eval_return_semantics_match_reference():
+    """`eval_envs/return` is mean episode return where success pays exactly
+    REWARD_SCALE=100 at episode end (launch_utils.py:32,
+    stat_accumulator.py:91-113): mean return == 100 * success_rate."""
+    from voxactb_tpu.data.fill_replay import REWARD_SCALE
+    from voxactb_tpu.utils.loggers import StatAccumulator
+
+    assert REWARD_SCALE == 100.0
+    acc = StatAccumulator()
+    # 3 successes, 1 failure -> success rate 0.75 -> mean return 75
+    for success in (True, True, True, False):
+        acc.step_episode(REWARD_SCALE if success else 0.0, length=5)
+    stats = {s.name: s.value for s in acc.pop()}
+    assert stats["eval_envs/return"] == 75.0
+    assert stats["eval_envs/length"] == 5.0
+    assert stats["eval_envs/episodes"] == 4.0
+    # the accumulator drains on pop (fresh window per checkpoint)
+    assert acc.pop() == []

@@ -252,3 +252,136 @@ def test_stabilizing_sweep(tmp_path, rng):
     assert [r["left_step"] for r in rows] == [0, 1]
     assert all(r["step"] == 0 for r in rows)
     assert os.path.exists(tmp_path / "logs" / "stabilizing_sweep.csv")
+
+
+class _ScriptedPlanner:
+    """Fake VoxPoser planner: moves both arms toward the target."""
+
+    def __init__(self):
+        self.plan_calls = 0
+
+    def plan(self, env, obs):
+        self.plan_calls += 1
+        target = env.target_object_world_coords()
+        for arm in ("left", "right"):
+            yield np.r_[target + [0, 0, 0.1], 0, 0, 0, 1, 1.0, 1.0], arm
+
+
+class _SpyAgent:
+    """Minimal agent recording when act() is first called relative to env steps."""
+
+    def __init__(self, env, grip_flip_at=None):
+        self._env = env
+        self.first_act_step_count = None
+        self._grip_flip_at = grip_flip_at
+        self._n = 0
+
+    def build(self, training=False):
+        pass
+
+    def act(self, step, obs, **kw):
+        from voxactb_tpu.agents.base import ActResult
+
+        if self.first_act_step_count is None:
+            self.first_act_step_count = len(self._env.step_log)
+        grip = 1.0
+        if self._grip_flip_at is not None and self._n >= self._grip_flip_at:
+            grip = 0.0
+        self._n += 1
+        a = np.r_[0.3, 0.0, 1.0, 0, 0, 0, 1, grip, 1.0]
+        return ActResult(a)
+
+
+def test_voxposer_prepositioning_runs_before_policy(rng):
+    """VoxPoser pre-positioning (rollout_generator.py:103-110): planner actions
+    move the arms BEFORE the first agent.act, without consuming episode budget."""
+    env = FakeBimanualEnv(image_size=IMG, episode_length=4, seed=5)
+    env.launch()
+    planner = _ScriptedPlanner()
+    agent = _SpyAgent(env)
+    gen = RolloutGenerator()
+    transitions = list(gen.generator(
+        env, agent, episode_length=2, left_arm_agent=agent,
+        which_arm="dominant_assistive", crop_target_obj_voxel=True,
+        crop_radius=0.3, no_voxposer=False, planner=planner,
+    ))
+    assert planner.plan_calls == 1
+    # the planner's 2 arm motions landed in the env BEFORE the first act
+    assert agent.first_act_step_count == 2
+    planner_arms = [arm for _, arm, _ in env.step_log[:2]]
+    assert set(planner_arms) == {"left", "right"}
+    assert transitions  # the learned policy still ran its episode
+
+
+def test_no_voxposer_flag_skips_prepositioning(rng):
+    env = FakeBimanualEnv(image_size=IMG, episode_length=4, seed=5)
+    env.launch()
+    planner = _ScriptedPlanner()
+    agent = _SpyAgent(env)
+    gen = RolloutGenerator()
+    list(gen.generator(
+        env, agent, episode_length=2, left_arm_agent=agent,
+        which_arm="dominant_assistive", crop_target_obj_voxel=True,
+        no_voxposer=True, planner=planner,
+    ))
+    assert planner.plan_calls == 0
+    assert agent.first_act_step_count == 0
+
+
+def test_openjar_gripper_switch_heuristic(rng):
+    """Plain branch + OpenJar: left arm acts until its gripper bit flips, then
+    control switches to the right arm (rollout_generator.py:540-608)."""
+    env = FakeBimanualEnv(image_size=IMG, episode_length=8, seed=7,
+                          task_name="OpenJar", success_radius=0.0)
+    env.launch()
+    agent = _SpyAgent(env, grip_flip_at=3)  # gripper closes on the 4th act
+    gen = RolloutGenerator()
+    list(gen.generator(env, agent, episode_length=8, which_arm="right",
+                       crop_target_obj_voxel=False))
+    arms = [arm for _, arm, _ in env.step_log]
+    # steps 0-3 left (flip happens at step 3), 4+ right
+    assert arms[:4] == ["left"] * 4
+    assert set(arms[4:]) == {"right"}
+
+
+def test_parallel_eval_overlaps_and_keeps_csv_contract(tmp_path, rng):
+    """One process per checkpoint (eval.py:242-261): ≥2 ckpts overlap in wall
+    clock, rows land in the same skip-scored CSV."""
+    import time
+
+    from voxactb_tpu.agents.base import ActResult, Agent
+
+    class SleepAgent(Agent):
+        def build(self, training=False, device=None):
+            pass
+
+        def update(self, step, batch):
+            return {}
+
+        def act(self, step, observation, **kw):
+            time.sleep(0.4)
+            return ActResult(np.r_[0.3, 0.0, 1.0, 0, 0, 0, 1, 1.0, 1.0])
+
+        def load_weights(self, savedir):
+            pass
+
+        def save_weights(self, savedir):
+            pass
+
+    for step in (0, 1, 2):
+        os.makedirs(tmp_path / "weights" / str(step), exist_ok=True)
+
+    env = FakeBimanualEnv(image_size=8, episode_length=2, seed=1)
+    runner = EvalRunner(
+        env, SleepAgent(), str(tmp_path / "weights"), str(tmp_path / "logs"),
+        eval_episodes=1, episode_length=2, which_arm="right",
+        crop_target_obj_voxel=False,
+    )
+    t0 = time.perf_counter()
+    results = runner.start("missing", num_procs=3)
+    parallel_wall = time.perf_counter() - t0
+    assert [r["step"] for r in results] == [0, 1, 2]
+    # serial would be >= 3 ckpts x (2 acts x 0.4s) = 2.4s; require clear overlap
+    assert parallel_wall < 2.0, parallel_wall
+    # skip-scored contract intact: a second 'missing' run finds nothing
+    assert runner.start("missing", num_procs=3) == []

@@ -118,9 +118,26 @@ def main():
             x = x + h
         return x
 
+    from voxactb_tpu.ops.voxelize import voxelize
+
+    pts = jnp.asarray(rng.uniform(-0.5, 1.5, (N_CHAIN, 1, 32768, 3)).astype(
+        np.float32))
+    ptf = jnp.asarray(rng.uniform(-1, 1, (N_CHAIN, 1, 32768, 3)).astype(
+        np.float32))
+    vox_bounds = jnp.asarray([[-0.8, -1.0, 0.1, 1.2, 1.0, 2.1]], jnp.float32)
+
+    def d0_consumers_separate(x):
+        """ss0 + globalmax + patchify, each re-reading d0 (round-1 structure)."""
+        return (spatial_softmax_3d(x), jnp.max(x, axis=(1, 2, 3)),
+                conv3d(x, k5s5, stride=5))
+
     # (input with leading N_CHAIN axis, op) — scan consumes a fresh slice per step so
     # XLA cannot hoist the op out of the loop
     stages = {
+        "voxelize_32k->100^3": (
+            (pts, ptf),
+            lambda xs: voxelize(xs[0], xs[1], vox_bounds, voxel_size=100)),
+        "d0_consumers_separate@100": (d0, d0_consumers_separate),
         "conv1x1_10->64@100": (grid10, lambda x: conv3d(x, k1)),
         "patchify_k5s5@100": (d0, lambda x: conv3d(x, k5s5, stride=5)),
         "patchify_s2d_matmul@100": (d0, lambda x: patchify_s2d(x, k5s5)),
@@ -139,7 +156,9 @@ def main():
         def chained(xs, f=fn):
             def step(c, x):
                 y = f(x)
-                return c, jnp.sum(y.astype(jnp.float32))
+                tot = sum(jnp.sum(l.astype(jnp.float32))
+                          for l in jax.tree_util.tree_leaves(y))
+                return c, tot
             _, ys = jax.lax.scan(step, 0, xs)
             return ys
 

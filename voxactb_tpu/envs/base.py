@@ -46,7 +46,19 @@ class BimanualEnv(abc.ABC):
         """Apply a 9-DoF action [xyz, quat(xyzw), grip, ignore_collision] to one arm
         (task_environment_two_robots.py:118)."""
 
+    def preposition_step(self, action, which_arm: str) -> Transition:
+        """A step taken during VoxPoser pre-positioning (the episode prologue,
+        rollout_generator.py:103-110): same motion as :meth:`step` but it must
+        not consume the learned policy's episode budget. Default: plain step."""
+        return self.step(action, which_arm)
+
     # -- VoxAct-B hooks -----------------------------------------------------------
+
+    @property
+    def task_name(self) -> str:
+        """Class name of the active task ('OpenJar', ...) for task-conditional
+        rollout heuristics (rollout_generator.py:540)."""
+        return ""
 
     def target_object_world_coords(self) -> Optional[Any]:
         """VLM-localized crop point (rlbench/backend/vlm.py:144). None if no VLM."""

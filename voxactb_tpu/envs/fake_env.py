@@ -106,6 +106,10 @@ class FakeBimanualEnv(BimanualEnv):
 
     # -- VoxAct-B hooks ------------------------------------------------------------
 
+    @property
+    def task_name(self) -> str:
+        return self._task_name
+
     def target_object_world_coords(self):
         return self._target.copy()
 

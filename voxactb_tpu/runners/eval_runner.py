@@ -120,7 +120,14 @@ class EvalRunner:
             row[s.name] = s.value
         return row
 
-    def start(self, eval_type="missing") -> List[Dict[str, float]]:
+    def start(self, eval_type="missing",
+              num_procs: int = 1) -> List[Dict[str, float]]:
+        """Evaluate selected checkpoints; ``num_procs > 1`` fans one process out
+        per checkpoint (peract/eval.py:242-261's Process-per-ckpt round-robin),
+        keeping the skip-already-scored CSV contract — the parent writes rows."""
+        steps = select_checkpoints(self._weightsdir, eval_type, self._csv_path)
+        if num_procs > 1 and len(steps) > 1:
+            return self._start_parallel(steps, num_procs)
         self._agent.build(training=False)
         if self._left_arm_agent is not None:
             self._left_arm_agent.build(training=False)
@@ -128,14 +135,60 @@ class EvalRunner:
         writer = CsvWriter(self._csv_path)
         results = []
         try:
-            for step in select_checkpoints(self._weightsdir, eval_type,
-                                           self._csv_path):
+            for step in steps:
                 row = self._eval_checkpoint(step)
                 writer.write(row)
                 results.append(row)
         finally:
             self._env.shutdown()
         return results
+
+    def _worker(self, step: int, queue) -> None:
+        """Child-process body: build fresh, score one checkpoint, ship the row."""
+        try:
+            self._agent.build(training=False)
+            if self._left_arm_agent is not None:
+                self._left_arm_agent.build(training=False)
+            self._env.launch()
+            try:
+                queue.put(("ok", self._eval_checkpoint(step)))
+            finally:
+                self._env.shutdown()
+        except Exception as e:  # surface worker failures to the parent
+            queue.put(("err", f"step {step}: {type(e).__name__}: {e}"))
+
+    def _start_parallel(self, steps: List[int],
+                        num_procs: int) -> List[Dict[str, float]]:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")  # agents/envs need not be picklable
+        queue = ctx.Queue()
+        writer = CsvWriter(self._csv_path)
+        results: List[Dict[str, float]] = []
+        pending = list(steps)
+        running: List = []
+        errors: List[str] = []
+        n_outstanding = 0
+        while pending or n_outstanding:
+            while pending and n_outstanding < num_procs:
+                p = ctx.Process(target=self._worker,
+                                args=(pending.pop(0), queue))
+                p.start()
+                running.append(p)
+                n_outstanding += 1
+            kind, payload = queue.get()
+            n_outstanding -= 1
+            if kind == "err":
+                errors.append(payload)
+            else:
+                writer.write(payload)
+                results.append(payload)
+        for p in running:
+            p.join()
+        if errors:
+            raise RuntimeError("parallel eval worker(s) failed: "
+                               + "; ".join(errors))
+        return sorted(results, key=lambda r: r["step"])
 
     def sweep_stabilizing(self, acting_step: int,
                           stabilizing_weightsdir: str) -> List[Dict[str, float]]:

@@ -60,8 +60,10 @@ class RolloutGenerator:
         auto_crop: bool = False,
         no_acting_stabilizing: bool = False,
         voxposer_only_eval: bool = False,
+        no_voxposer: bool = True,
         planner=None,
         demo_index: Optional[int] = None,
+        max_preposition_steps: int = 10,
     ) -> Generator[ReplayTransition, None, None]:
         obs = (env.reset_to_demo(demo_index) if demo_index is not None
                else env.reset())
@@ -69,6 +71,14 @@ class RolloutGenerator:
         if voxposer_only_eval:
             yield from self._voxposer_only(env, planner, obs, episode_length)
             return
+
+        # VoxPoser pre-positioning: the LMP plans coarse approach motions that
+        # move both arms near the object BEFORE the learned policy acts
+        # (rollout_generator.py:103-110 `env.voxposer_ui(description)`; skipped
+        # with the eval scripts' `no_voxposer=True` VLM-only-crop mode).
+        if crop_target_obj_voxel and not no_voxposer and planner is not None:
+            obs = self._voxposer_preposition(
+                env, planner, obs, max_preposition_steps)
 
         new_scene_bounds = None
         if crop_target_obj_voxel:
@@ -179,11 +189,18 @@ class RolloutGenerator:
 
     def _single_arm(self, env, agent, obs, episode_length, eval, which_arm,
                     new_scene_bounds):
-        """rollout_generator.py:460-741 (plain/baseline path)."""
+        """rollout_generator.py:460-741 (plain/baseline path).
+
+        OpenJar gripper-switch heuristic (:540-608): a single policy drives the
+        LEFT arm until its gripper bit flips (the jar is held), then control
+        switches to the RIGHT arm for the remainder of the episode."""
+        gripper_switch = getattr(env, "task_name", "") == "OpenJar"
+        arm = "left" if gripper_switch else which_arm
+        prev_gripper = None
         for step in range(episode_length):
             rt, transition = self._step_once(
-                env, agent, step, obs, which_arm,
-                dict(deterministic=eval, which_arm=which_arm,
+                env, agent, step, obs, arm,
+                dict(deterministic=eval, which_arm=arm,
                      new_scene_bounds=new_scene_bounds),
                 episode_length,
             )
@@ -191,6 +208,30 @@ class RolloutGenerator:
             yield rt
             if transition.terminal:
                 return
+            if gripper_switch and arm == "left":
+                action = np.asarray(rt.action)
+                grip = float(action[7]) if action.shape[-1] > 7 else None
+                if (prev_gripper is not None and grip is not None
+                        and grip != prev_gripper):
+                    arm = "right"  # 'Switch to right arm' (:605-608)
+                prev_gripper = grip
+
+    def _voxposer_preposition(self, env, planner, obs, max_steps):
+        """Execute up to ``max_steps`` planner actions as the episode prologue.
+
+        These motions happen 'inside reset' from the learned policy's point of
+        view — no replay transitions are emitted, mirroring the reference where
+        ``voxposer_ui`` runs before the policy loop starts emitting
+        (rollout_generator.py:103-121)."""
+        step_fn = getattr(env, "preposition_step", env.step)
+        for step, (action, arm) in enumerate(planner.plan(env, obs)):
+            if step >= max_steps:
+                break
+            transition = step_fn(action, arm)
+            obs = dict(transition.observation)
+            if transition.terminal:
+                break
+        return obs
 
     def _voxposer_only(self, env, planner, obs, episode_length):
         """rollout_generator.py:66-130: the LLM planner drives both arms directly."""
