@@ -167,3 +167,33 @@ def test_voxposer_only_rollout(tmp_path):
     # both arms got driven
     arms = {arm for _, arm, _ in env.step_log}
     assert arms == {"left", "right"} or transitions[-1].terminal
+
+
+def test_sim_object_lookup_points_and_normals():
+    """Env bridge (rlbench_env.py:867-991): detect() resolves sim objects with
+    surface points and outward unit normals."""
+    import numpy as np
+
+    from voxactb_tpu.sim.environment import BimanualTaskEnvironment
+    from voxactb_tpu.sim.tasks import OpenJar
+    from voxactb_tpu.voxposer.interface import make_sim_object_lookup
+
+    env = BimanualTaskEnvironment(OpenJar, image_size=8, seed=0)
+    env.launch()
+    env.reset()
+    lookup = make_sim_object_lookup(env)
+    obj = lookup("the jar")  # fuzzy name resolution
+    assert obj.name == "jar"
+    assert obj.points is not None and obj.normals is not None
+    assert obj.points.shape == obj.normals.shape
+    # normals are unit outward: point + eps*normal leaves the AABB
+    lengths = np.linalg.norm(obj.normals, axis=-1)
+    np.testing.assert_allclose(lengths, 1.0)
+    outside = obj.points + obj.normals * 1e-3
+    lo, hi = obj.aabb[:3], obj.aabb[3:]
+    strictly_inside = ((outside > lo) & (outside < hi)).all(-1)
+    assert not strictly_inside.any()
+    import pytest
+
+    with pytest.raises(KeyError):
+        lookup("nonexistent thing")

@@ -4,9 +4,13 @@ Counterpart of ``LMP_interface`` (peract/voxposer/interfaces.py:15-530) and the
 waypoint half of ``Controller`` (controllers.py:11-102): generated code calls
 ``detect`` / map factories / ``execute``; ``execute`` builds cost maps, runs the
 greedy planner and walks the end effector of the commanded arm along the path.
-The heuristic pushing-dynamics MPC (controllers.py:103+) applies to object-centric
-motion only, which none of the four VoxAct-B tasks use at policy level; the hook
-(``object_centric=True``) plans in-plane paths and raises on execution for now.
+Object-centric motion ("push the jar to ...") routes through the random-shooting
+MPC (controllers.py:103+) which plans a contact point + push direction and
+executes it with the commanded arm.
+
+``make_sim_object_lookup`` bridges a sim environment to ``detect``-able objects
+with surface point/normal queries — the role of the reference env's
+object-query layer (voxposer/envs/rlbench_env.py:867-991).
 
 ``VoxPoserPlanner.plan`` adapts the whole stack to the rollout generator's
 ``voxposer_only`` branch (yields (9-DoF action, arm) pairs).
@@ -34,6 +38,55 @@ class DetectedObject:
     position: np.ndarray           # world frame
     normals: Optional[np.ndarray] = None
     aabb: Optional[np.ndarray] = None
+    points: Optional[np.ndarray] = None  # surface samples (object point query)
+
+
+def aabb_surface_points_and_normals(aabb: np.ndarray, m: int = 4
+                                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample points on an AABB's six faces with outward normals — the sim
+    stand-in for the reference's mesh-derived object point/normal queries
+    (rlbench_env.py:867-991, which reads CoppeliaSim mesh vertices)."""
+    lo, hi = np.asarray(aabb[:3], np.float64), np.asarray(aabb[3:], np.float64)
+    center, half = (lo + hi) / 2, (hi - lo) / 2
+    lin = np.linspace(-1.0, 1.0, m)
+    u, v = np.meshgrid(lin, lin, indexing="ij")
+    u, v = u.ravel(), v.ravel()
+    pts, nrm = [], []
+    for axis, sign in ((0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)):
+        f = np.empty((u.size, 3))
+        f[:, axis] = sign
+        f[:, (axis + 1) % 3] = u
+        f[:, (axis + 2) % 3] = v
+        pts.append(center + f * half)
+        n = np.zeros((u.size, 3))
+        n[:, axis] = sign
+        nrm.append(n)
+    return np.concatenate(pts, 0), np.concatenate(nrm, 0)
+
+
+def make_sim_object_lookup(env) -> Callable[[str], "DetectedObject"]:
+    """``detect``-style lookup over a kinematic-sim environment's objects.
+
+    Resolves names fuzzily (substring both ways, like the reference's
+    name-normalization layer) and fills position/aabb/normals from the live
+    backend state at call time."""
+
+    def lookup(name: str) -> DetectedObject:
+        backend = env.backend
+        key = name.strip().lower().replace(" ", "_")
+        names = list(backend.object_names())
+        match = next((n for n in names if n == key), None)
+        if match is None:
+            match = next(
+                (n for n in names if key in n or n in key), None)
+        if match is None:
+            raise KeyError(f"no object matching {name!r}; have {names}")
+        obj = backend.get_object(match)
+        points, normals = aabb_surface_points_and_normals(obj.aabb())
+        return DetectedObject(match, obj.position.copy(), normals=normals,
+                              aabb=obj.aabb(), points=points)
+
+    return lookup
 
 
 class LMPInterface:
