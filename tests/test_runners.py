@@ -351,6 +351,9 @@ def test_parallel_eval_overlaps_and_keeps_csv_contract(tmp_path, rng):
 
     from voxactb_tpu.agents.base import ActResult, Agent
 
+    spans_dir = tmp_path / "spans"
+    os.makedirs(spans_dir, exist_ok=True)
+
     class SleepAgent(Agent):
         def build(self, training=False, device=None):
             pass
@@ -359,7 +362,12 @@ def test_parallel_eval_overlaps_and_keeps_csv_contract(tmp_path, rng):
             return {}
 
         def act(self, step, observation, **kw):
-            time.sleep(0.4)
+            t0 = time.time()
+            time.sleep(0.5)
+            # record (pid, start, end) so overlap can be asserted from actual
+            # execution intervals — robust to process-startup jitter under load
+            with open(spans_dir / f"{os.getpid()}.log", "a") as f:
+                f.write(f"{t0} {time.time()}\n")
             return ActResult(np.r_[0.3, 0.0, 1.0, 0, 0, 0, 1, 1.0, 1.0])
 
         def load_weights(self, savedir):
@@ -377,11 +385,20 @@ def test_parallel_eval_overlaps_and_keeps_csv_contract(tmp_path, rng):
         eval_episodes=1, episode_length=2, which_arm="right",
         crop_target_obj_voxel=False,
     )
-    t0 = time.perf_counter()
     results = runner.start("missing", num_procs=3)
-    parallel_wall = time.perf_counter() - t0
     assert [r["step"] for r in results] == [0, 1, 2]
-    # serial would be >= 3 ckpts x (2 acts x 0.4s) = 2.4s; require clear overlap
-    assert parallel_wall < 2.0, parallel_wall
+    # gather per-process act intervals; ≥2 distinct workers must overlap in time
+    spans = {}
+    for fn in os.listdir(spans_dir):
+        with open(spans_dir / fn) as f:
+            spans[fn] = [tuple(map(float, ln.split())) for ln in f if ln.strip()]
+    assert len(spans) >= 2, f"expected >=2 worker processes, saw {list(spans)}"
+    pids = list(spans)
+    overlapped = any(
+        s0 < e1 and s1 < e0
+        for i, a in enumerate(pids) for b in pids[i + 1:]
+        for (s0, e0) in spans[a] for (s1, e1) in spans[b]
+    )
+    assert overlapped, f"no wall-clock overlap between workers: {spans}"
     # skip-scored contract intact: a second 'missing' run finds nothing
     assert runner.start("missing", num_procs=3) == []
