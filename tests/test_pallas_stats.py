@@ -42,3 +42,22 @@ def test_bf16_input(rng):
     ref_kp = spatial_softmax_3d(x)
     np.testing.assert_allclose(np.asarray(kp), np.asarray(ref_kp),
                                atol=5e-3, rtol=5e-2)
+
+
+def test_fused_xla_stats_matches_unfused(rng):
+    """softargmax_stats_3d == (spatial_softmax_3d, global_max_pool_3d) exactly."""
+    from voxactb_tpu.models.blocks import softargmax_stats_3d
+
+    for n, c, dt in [(8, 16, np.float32), (10, 8, np.float32)]:
+        x = jnp.asarray(rng.normal(size=(2, n, n, n, c)).astype(dt) * 0.1)
+        kp, gmax = softargmax_stats_3d(x)
+        np.testing.assert_allclose(np.asarray(kp), np.asarray(spatial_softmax_3d(x)),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gmax),
+                                   np.asarray(global_max_pool_3d(x)), atol=0)
+
+    xb = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 8)).astype(np.float32) * 0.1,
+                     jnp.bfloat16)
+    kp, gmax = softargmax_stats_3d(xb)
+    np.testing.assert_allclose(np.asarray(kp), np.asarray(spatial_softmax_3d(xb)),
+                               atol=1e-4, rtol=1e-3)

@@ -220,3 +220,36 @@ def spatial_softmax_3d(feature: jax.Array, temperature: float = 0.01) -> jax.Arr
 def global_max_pool_3d(x: jax.Array) -> jax.Array:
     """[B, D, H, W, C] -> [B, C] (AdaptiveMaxPool3d(1), network_utils/perceiver use)."""
     return jnp.max(x, axis=(1, 2, 3))
+
+
+def softargmax_stats_3d(feature: jax.Array, temperature: float = 0.01):
+    """Fused (spatial soft-argmax, global max): two passes over the input, no
+    materialized softmax tensor.
+
+    Numerically identical to ``(spatial_softmax_3d(x), global_max_pool_3d(x))`` but
+    restructured for HBM bandwidth: ``spatial_softmax_3d`` materializes the f32
+    softmax ``[B, S, C]`` (256 MB at N=100, C=64) and re-reads it three times; here
+    the max pass doubles as the global-max pool, and a single ``[B,S,C] x [S,4]``
+    contraction (ones | pos_x | pos_y | pos_z) yields the partition function and all
+    three expected coordinates in one sweep — the ``exp`` fuses into the dot.
+
+    Returns ``(keypoints [B, C*3] f32, global_max [B, C] f32)`` with the same
+    per-channel (x, y, z) triplet layout and meshgrid quirk as spatial_softmax_3d.
+    """
+    b, d, h, w, c = feature.shape
+    assert d == h == w, "softargmax_stats_3d expects a cubic grid"
+    s = d * h * w
+    flat = feature.reshape(b, s, c).astype(jnp.float32)
+
+    m = jnp.max(flat, axis=1)                       # [B, C]: the global max pool
+    e = jnp.exp((flat - m[:, None, :]) / temperature)
+
+    lin = jnp.linspace(-1.0, 1.0, d, dtype=jnp.float32)
+    pos_x = jnp.broadcast_to(lin[None, :, None], (d, h, w)).reshape(-1)  # lin[h_idx]
+    pos_y = jnp.broadcast_to(lin[:, None, None], (d, h, w)).reshape(-1)  # lin[d_idx]
+    pos_z = jnp.broadcast_to(lin[None, None, :], (d, h, w)).reshape(-1)  # lin[w_idx]
+    P = jnp.stack([jnp.ones((s,), jnp.float32), pos_x, pos_y, pos_z], axis=-1)
+
+    sums = jnp.einsum("bsc,sk->bck", e, P)          # [B, C, 4]
+    kp = sums[..., 1:] / sums[..., 0:1]
+    return kp.reshape(b, c * 3), m

@@ -32,8 +32,7 @@ from voxactb_tpu.models.blocks import (
     Conv3D,
     Conv3DUpsample,
     DenseBlock,
-    global_max_pool_3d,
-    spatial_softmax_3d,
+    softargmax_stats_3d,
 )
 
 
@@ -165,7 +164,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
 
             kp, gmax = stats_head(x)
             return kp, gmax
-        return spatial_softmax_3d(x), global_max_pool_3d(x).astype(jnp.float32)
+        return softargmax_stats_3d(x)
 
     @property
     def input_dim_before_seq(self) -> int:

@@ -1,0 +1,207 @@
+"""Fused Perceiver decoder head: skip-concat conv3x3 + lrelu + trans conv(s) + stats.
+
+The XLA decoder tail at N=100 is four bandwidth-bound passes over ~128 MB tensors
+(tools/profile_quick.py on the v5e relay chip):
+
+    final k3 conv (cat[d0,u0] 128ch -> u 64ch)   10.6 ms
+    trans  k3 conv (u -> 1ch Q-field, x2 arms)    9.2 ms each
+    soft-argmax + global-max stats over u         6.8 ms
+
+i.e. ~27-36 ms of the 46 ms act step, almost all HBM traffic: u (128 MB) and the
+concat (256 MB) are materialized and re-read several times. This kernel streams d0
+and u0 through VMEM ONCE (256 MB total reads) and computes everything else on-chip:
+
+  for each z row (sequential grid, rolling ring buffers in VMEM scratch):
+    cat row   = [d0 | u0] spatially edge-padded                 (ring of 3)
+    u row     = lrelu( sum_{27 taps} cat @ Wf[tap] + bf )       (ring of 3)
+    trans row = sum_{27 taps} u @ Wt[tap] + bt                  (written out, T heads)
+    stats     = online-softmax (flash) recurrence over u rows:
+                running per-channel max m, rescaled denominator and three
+                position-weighted numerators (blocks.softargmax_stats_3d semantics,
+                including the reference's meshgrid-'xy' quirk).
+
+Replicate ('edge') padding matches ``Conv3D``'s ``jnp.pad(mode="edge")`` in x/y/z.
+Per-batch-element HBM traffic: read 2x[N^3,C] + write [N^3,T] f32 — ~264 MB at
+N=100/C=64/T=2 vs ~1.3 GB for the unfused chain.
+
+Inference-only (no VJP): the training path keeps the differentiable XLA ops; the
+reference has no analogue (torch runs the unfused chain, qattention_peract_bc_agent
+.py:86-135 / perceiver_lang_io.py:440-485).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.02
+TEMPERATURE = 0.01
+
+
+def _edge_pad_row(ref, slot, interior, n):
+    """Write [N,N,C] interior into ref[slot] as [N+2,N+2,C] with edge replication."""
+    ref[slot, 1:n + 1, 1:n + 1, :] = interior
+    # columns first on interior rows, then row copies fix the corners
+    ref[slot, 1:n + 1, 0:1, :] = interior[:, 0:1, :]
+    ref[slot, 1:n + 1, n + 1:n + 2, :] = interior[:, n - 1:n, :]
+    ref[slot, 0:1, :, :] = ref[slot, 1:2, :, :]
+    ref[slot, n + 1:n + 2, :, :] = ref[slot, n:n + 1, :, :]
+
+
+def _conv27(ring_ref, slots, w_ref, n, cout):
+    """acc[y,x,co] = sum_{dz,dy,dx} ring[slots[dz]][dy:dy+N, dx:dx+N, :] @ w[dz,dy,dx]."""
+    acc = jnp.zeros((n, n, cout), jnp.float32)
+    for dz in range(3):
+        row = ring_ref[slots[dz]]
+        for dy in range(3):
+            for dx in range(3):
+                acc = acc + jax.lax.dot_general(
+                    row[dy:dy + n, dx:dx + n, :], w_ref[dz, dy, dx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    return acc
+
+
+def _kernel(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref, pos_ref,
+            trans_ref, kp_ref, gmax_ref,
+            cat_ring, u_ring, stats, *, n: int, c: int, t_heads: int):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init_stats():
+        stats[...] = jnp.zeros_like(stats)
+        stats[0, :] = jnp.full_like(stats[0, :], -jnp.inf)  # running max m
+
+    # 1) build padded cat row for logical z-row `t` (content clamped at N-1 by the
+    #    input index_map, matching replicate padding in z)
+    slot_in = jax.lax.rem(t, 3)
+    interior = jnp.concatenate([d0_ref[0, 0], u0_ref[0, 0]], axis=-1)
+    _edge_pad_row(cat_ring, slot_in, interior, n)
+
+    # 2) u row i = t-1 from cat rows (i-1, i, i+1), z-clamped at 0
+    @pl.when(jnp.logical_and(t >= 1, t <= n))
+    def _compute_u():
+        i = t - 1
+        slots = [jax.lax.rem(jnp.maximum(i - 1 + dz, 0), 3) for dz in range(3)]
+        acc = _conv27(cat_ring, slots, wf_ref, n, c) + bf_ref[0, :c]
+        u = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE).astype(cat_ring.dtype)
+        _edge_pad_row(u_ring, jax.lax.rem(i, 3), u, n)
+
+        # online-softmax stats over u rows (f32, matching softargmax_stats_3d on the
+        # bf16-rounded u the XLA path sees)
+        uf = u.astype(jnp.float32)
+        row_max = jnp.max(uf, axis=(0, 1))                      # [C]
+        m_old = stats[0, :c]
+        m_new = jnp.maximum(m_old, row_max)
+        corr = jnp.exp((m_old - m_new) / TEMPERATURE)
+        corr = jnp.where(jnp.isfinite(corr), corr, 0.0)         # first row: m=-inf
+        e = jnp.exp((uf - m_new[None, None, :]) / TEMPERATURE)  # [N,N,C]
+        se = jnp.sum(e, axis=(0, 1))
+        # reference quirk: E[x] <- lin[h(row-axis0)], E[y] <- lin[d(z)], E[z] <- lin[w]
+        lin_h = pos_ref[0, :n]
+        wx = jnp.sum(e * lin_h[:, None, None], axis=(0, 1))
+        wz = jnp.sum(e * lin_h[None, :, None], axis=(0, 1))
+        lin_d_i = pos_ref[0, jnp.minimum(i, n - 1)]
+        stats[0, :c] = m_new
+        stats[1, :c] = stats[1, :c] * corr + se
+        stats[2, :c] = stats[2, :c] * corr + wx
+        stats[3, :c] = stats[3, :c] * corr + lin_d_i * se
+        stats[4, :c] = stats[4, :c] * corr + wz
+
+    # 3) trans row z = t-2 from u rows (z-1, z, z+1), clamped to [0, N-1]
+    @pl.when(t >= 2)
+    def _compute_trans():
+        z = t - 2
+        slots = [
+            jax.lax.rem(jnp.clip(z - 1 + dz, 0, n - 1), 3) for dz in range(3)
+        ]
+        acc = _conv27(u_ring, slots, wt_ref, n, t_heads) + bt_ref[0, :t_heads]
+        trans_ref[0, 0] = acc
+
+    # 4) final program: emit stats
+    @pl.when(t == n + 1)
+    def _emit_stats():
+        denom = stats[1, :c]
+        kp_ref[0, 0, :c] = stats[2, :c] / denom
+        kp_ref[0, 1, :c] = stats[3, :c] / denom
+        kp_ref[0, 2, :c] = stats[4, :c] / denom
+        gmax_ref[0, 0, :c] = stats[0, :c]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decoder_head(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
+                 wt: jax.Array, bt: jax.Array, *, interpret: bool = False):
+    """Fused u = lrelu(conv3([d0|u0])) -> (trans heads, soft-argmax kp, global max).
+
+    Args:
+      d0: [B, N, N, N, C] skip features (bf16/f32).
+      u0: [B, N, N, N, C] upsampled decoder features.
+      wf: [3, 3, 3, 2C, C] final-conv kernel (d0 channels first — concat order).
+      bf: [C] final-conv bias.
+      wt: [T, 3, 3, 3, C, 1] trans-decoder kernels (T heads: right[, left]).
+      bt: [T] trans biases.
+
+    Returns:
+      trans: [B, N, N, N, T] f32 Q fields.
+      kp:    [B, C*3] f32 per-channel (x, y, z) soft-argmax triplets over u.
+      gmax:  [B, C] f32 per-channel global max over u.
+    """
+    b, n, _, _, c = d0.shape
+    t_heads = wt.shape[0]
+    dt = d0.dtype
+    cdim = 128 if c <= 128 else c  # lane-pad the stats/pos rows
+
+    wt_packed = jnp.transpose(wt[..., 0], (1, 2, 3, 4, 0))  # [3,3,3,C,T]
+    pos = jnp.zeros((1, cdim), jnp.float32).at[0, :n].set(
+        jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32))
+    bf_row = jnp.zeros((1, cdim), jnp.float32).at[0, :c].set(bf.astype(jnp.float32))
+    bt_row = jnp.zeros((1, cdim), jnp.float32).at[0, :t_heads].set(
+        bt.astype(jnp.float32))
+
+    grid = (b, n + 2)
+    row_spec = lambda ref_n: pl.BlockSpec(
+        (1, 1, n, n, ref_n),
+        lambda bb, tt: (bb, jnp.minimum(tt, n - 1), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    trans, kp3, gmax = pl.pallas_call(
+        functools.partial(_kernel, n=n, c=c, t_heads=t_heads),
+        grid=grid,
+        in_specs=[
+            row_spec(c), row_spec(c),
+            full(), full(), full(), full(), full(),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, n, n, t_heads),
+                         lambda bb, tt: (bb, jnp.maximum(tt - 2, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, cdim), lambda bb, tt: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cdim), lambda bb, tt: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, n, n, t_heads), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, cdim), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, cdim), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, n + 2, n + 2, 2 * c), dt),   # cat ring
+            pltpu.VMEM((3, n + 2, n + 2, c), dt),       # u ring
+            pltpu.VMEM((5, cdim), jnp.float32),          # m, den, wx, wy, wz
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(d0.astype(dt), u0.astype(dt), wf.astype(dt), bf_row,
+      wt_packed.astype(dt), bt_row, pos)
+
+    # interleave (x, y, z) per channel to the reference's flat [C*3] layout
+    kp = jnp.transpose(kp3[:, :, :c], (0, 2, 1)).reshape(b, c * 3)
+    return trans, kp, gmax[:, 0, :c]
