@@ -91,3 +91,19 @@ class ConditionSet(Condition):
 
     def satisfied(self, backend: SimBackend) -> bool:
         return all(c.satisfied(backend) for c in self._conditions)
+
+
+@dataclass
+class GripperNearCondition(Condition):
+    """An arm's TCP within ``tol`` of a point (reach/press-style successes,
+    rlbench/backend/conditions.py DetectedCondition-on-tip equivalent)."""
+
+    arm: str
+    target: np.ndarray
+    tol: float = 0.05
+
+    def satisfied(self, backend: SimBackend) -> bool:
+        import numpy as np
+
+        tcp = backend.arm(self.arm).tcp_position
+        return float(np.linalg.norm(tcp - np.asarray(self.target))) <= self.tol

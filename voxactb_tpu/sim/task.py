@@ -41,6 +41,9 @@ class BimanualTask(abc.ABC):
 
     name: str = "bimanual_task"
     num_variations: int = 1
+    # False for classic single-arm RLBench tasks (rlbench/tasks/*.py drives one
+    # Panda); the validator then requires exactly one waypoint arm instead of two
+    bimanual: bool = True
 
     def __init__(self, backend: SimBackend):
         self.backend = backend

@@ -604,3 +604,9 @@ TASK_REGISTRY = {
         SweepToDustpan, StraightenRope,
     )
 }
+
+# extended catalogue (coordinated bimanual + classic single-arm tasks) — imported
+# last so tasks_extra can subclass the canonical four above
+from voxactb_tpu.sim.tasks_extra import EXTRA_TASKS  # noqa: E402
+
+TASK_REGISTRY.update({t.name: t for t in EXTRA_TASKS})

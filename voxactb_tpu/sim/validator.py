@@ -34,9 +34,12 @@ def task_smoke(task_cls: Type[BimanualTask], variations: int = -1,
                     f"{task_cls.name}: demo produced only {len(frames)} frames")
             wps = env.task.get_waypoints(env.task.dominant_arm())
             arms = {w.arm for w in wps}
-            if arms != {"right", "left"}:
+            if task_cls.bimanual and arms != {"right", "left"}:
                 raise TaskValidationError(
                     f"{task_cls.name}: waypoints must use both arms, got {arms}")
+            if not task_cls.bimanual and len(arms) != 1:
+                raise TaskValidationError(
+                    f"{task_cls.name}: single-arm task must use one arm, got {arms}")
             if not env.task.success():
                 raise TaskValidationError(
                     f"{task_cls.name} v{v}: scripted demo did not reach success")
