@@ -308,3 +308,50 @@ def test_different_appearance_cycles(rng):
         env.reset()
         colors.add(env.backend.get_object("jar").color)
     assert len(colors) == 3  # three appearances cycled over six variations
+
+
+def test_placement_retry_machinery():
+    """reset retries init_episode on PlacementError (Scene2Robots'
+    MAX_RESET_ATTEMPTS loop) and raises after the budget is exhausted."""
+    from voxactb_tpu.sim.environment import (
+        BimanualTaskEnvironment,
+        TaskEnvironmentError,
+    )
+    from voxactb_tpu.sim.task import PlacementError, sample_disjoint_position
+    from voxactb_tpu.sim.tasks import OpenJar
+
+    class FlakyPlacement(OpenJar):
+        name = "flaky_placement"
+        fails_left = 3
+
+        def init_episode(self, variation, rng):
+            if FlakyPlacement.fails_left > 0:
+                FlakyPlacement.fails_left -= 1
+                raise PlacementError("boundary sample failed")
+            return super().init_episode(variation, rng)
+
+    env = BimanualTaskEnvironment(FlakyPlacement, image_size=8)
+    env.launch()
+    obs = env.reset()
+    assert obs is not None and FlakyPlacement.fails_left == 0
+
+    class AlwaysFails(OpenJar):
+        name = "always_fails"
+
+        def init_episode(self, variation, rng):
+            raise PlacementError("no room")
+
+    env2 = BimanualTaskEnvironment(AlwaysFails, image_size=8)
+    env2.launch()
+    with pytest.raises(TaskEnvironmentError):
+        env2.reset()
+
+    # the sampler itself: raises when the scene is saturated
+    from voxactb_tpu.sim.backend import KinematicBackend, SceneObject
+    backend = KinematicBackend()
+    backend.add_object(SceneObject("wall", np.array([0.3, 0.0, 0.8]),
+                                   size=np.array([10.0, 10.0, 10.0])))
+    with pytest.raises(PlacementError):
+        sample_disjoint_position(backend, np.random.default_rng(0),
+                                 [0.2, -0.3, 0.8], [0.4, 0.3, 0.8],
+                                 np.full(3, 0.05), max_attempts=5)

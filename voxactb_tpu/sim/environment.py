@@ -22,12 +22,16 @@ import numpy as np
 
 from voxactb_tpu.envs.base import BimanualEnv, Transition
 from voxactb_tpu.sim.backend import ARMS, KinematicBackend, SimBackend
-from voxactb_tpu.sim.task import BimanualTask
+from voxactb_tpu.sim.task import BimanualTask, PlacementError
 
 REWARD_SCALE = 100.0
 
 
 class InvalidActionError(RuntimeError):
+    pass
+
+
+class TaskEnvironmentError(RuntimeError):
     pass
 
 
@@ -256,11 +260,27 @@ class BimanualTaskEnvironment(BimanualEnv):
     def set_variation(self, v: int) -> None:
         self._variation = v % self.task.num_variations
 
+    #: episode-placement retries before giving up, mirroring Scene2Robots'
+    #: init_episode retry loop on BoundaryError / WaypointError
+    #: (scene_two_robots.py's "attempts < self._MAX_RESET_ATTEMPTS" pattern)
+    MAX_RESET_ATTEMPTS = 10
+
     def reset(self) -> Dict:
         self._step_count = 0
         self.backend.reset_arms()
-        self._descriptions = self.task.init_episode(self._variation, self._rng)
-        return self._observation_dict()
+        last_err = None
+        for _ in range(self.MAX_RESET_ATTEMPTS):
+            try:
+                self._descriptions = self.task.init_episode(
+                    self._variation, self._rng)
+                return self._observation_dict()
+            except PlacementError as e:
+                # placement sampling failed (e.g. sample_disjoint_position
+                # exhausted its draws) — resample the episode with fresh noise
+                last_err = e
+        raise TaskEnvironmentError(
+            f"{self.task.name}: init_episode failed after "
+            f"{self.MAX_RESET_ATTEMPTS} attempts") from last_err
 
     def reset_to_demo(self, demo_index: int) -> Dict:
         self._rng = np.random.default_rng(self._seed + demo_index)

@@ -85,3 +85,35 @@ class BimanualTask(abc.ABC):
 
     def base_rotation_bounds(self) -> Tuple[float, float]:
         return (-np.pi / 4, np.pi / 4)
+
+
+class PlacementError(RuntimeError):
+    """Episode placement sampling failed — the kinematic counterpart of RLBench's
+    BoundaryError; BimanualTaskEnvironment.reset retries init_episode on it
+    (scene_two_robots.py's MAX_RESET_ATTEMPTS loop)."""
+
+
+def sample_disjoint_position(backend, rng: np.random.Generator, low, high, size,
+                             max_attempts: int = 50) -> np.ndarray:
+    """Sample a position whose AABB avoids every object already in the scene.
+
+    The kinematic stand-in for SpawnBoundary.sample's collision-checked placement
+    (rlbench/backend/spawn_boundary.py): draw uniformly in [low, high], reject on
+    AABB overlap, raise PlacementError when the budget is exhausted.
+    """
+    half = np.asarray(size, np.float64) / 2
+    low = np.asarray(low, np.float64)
+    high = np.asarray(high, np.float64)
+    for _ in range(max_attempts):
+        pos = rng.uniform(low, high)
+        clear = True
+        for name in backend.object_names():
+            bb = backend.get_object(name).aabb()
+            if np.all(pos + half > bb[:3]) and np.all(bb[3:] > pos - half):
+                clear = False
+                break
+        if clear:
+            return pos
+    raise PlacementError(
+        f"no collision-free placement in {max_attempts} draws "
+        f"(bounds {low}..{high}, size {size})")

@@ -24,7 +24,11 @@ from voxactb_tpu.sim.conditions import (
     ObjectAboveCondition,
     ObjectDisplacedCondition,
 )
-from voxactb_tpu.sim.task import BimanualTask, Waypoint
+from voxactb_tpu.sim.task import (
+    BimanualTask,
+    Waypoint,
+    sample_disjoint_position,
+)
 from voxactb_tpu.sim.tasks import DOWN, TABLE_Z, HandOverItem, _assistive
 
 
@@ -492,15 +496,17 @@ class PutRubbishInBin(_SingleArmTask):
 
     def init_episode(self, variation: int, rng) -> List[str]:
         self.backend.remove_all_objects()
-        rubbish = np.array([rng.uniform(0.2, 0.35), rng.uniform(-0.1, 0.25),
-                            TABLE_Z + 0.02])
         bin_pos = np.array([rng.uniform(0.3, 0.45), rng.uniform(-0.35, -0.2),
                             TABLE_Z + 0.08])
         self.backend.add_object(SceneObject(
-            "rubbish", rubbish, size=np.full(3, 0.03), color=(0.6, 0.6, 0.5)))
-        self.backend.add_object(SceneObject(
             "bin", bin_pos, size=np.array([0.12, 0.12, 0.16]),
             color=(0.3, 0.3, 0.3), static=True))
+        # collision-checked spawn (SpawnBoundary.sample semantics)
+        rubbish = sample_disjoint_position(
+            self.backend, rng, [0.2, -0.35, TABLE_Z + 0.02],
+            [0.45, 0.3, TABLE_Z + 0.02], np.full(3, 0.03))
+        self.backend.add_object(SceneObject(
+            "rubbish", rubbish, size=np.full(3, 0.03), color=(0.6, 0.6, 0.5)))
         self._bin = bin_pos
         self.register_success_conditions([
             DetectedCondition("rubbish", bin_pos + [0, 0, 0.04],
@@ -571,11 +577,12 @@ class StackBlocks(_SingleArmTask):
         self.backend.remove_all_objects()
         base = np.array([rng.uniform(0.3, 0.4), rng.uniform(-0.1, 0.1),
                          TABLE_Z + 0.03])
-        block = np.array([rng.uniform(0.15, 0.3), rng.uniform(-0.3, 0.3),
-                          TABLE_Z + 0.03])
         self.backend.add_object(SceneObject(
             "base_block", base, size=np.full(3, 0.05), color=(0.2, 0.9, 0.2),
             static=True))
+        block = sample_disjoint_position(
+            self.backend, rng, [0.15, -0.3, TABLE_Z + 0.03],
+            [0.45, 0.3, TABLE_Z + 0.03], np.full(3, 0.05))
         self.backend.add_object(SceneObject(
             "red_block", block, size=np.full(3, 0.05), color=(0.9, 0.1, 0.1)))
         self._base = base
