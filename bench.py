@@ -25,6 +25,9 @@ import numpy as np
 
 N_CHAIN = 16
 BATCH = 8
+# fused pallas decoder tail in the latency-mode config (ops/pallas/decoder_head);
+# flipped on once proven faster on-chip — BENCH_PALLAS_DECODER=0/1 overrides
+PALLAS_DECODER = os.environ.get("BENCH_PALLAS_DECODER", "0") == "1"
 
 
 def build_chain(cfg, batch, params=None):
@@ -102,7 +105,8 @@ def main():
     # latency mode: z-shifted 2D conv decomposition wins at batch 1 (46 vs 65 ms);
     # throughput mode: plain conv3d wins at batch 8 (25.2 vs 19.8 steps/s)
     cfg_lat = MethodConfig(voxel_sizes=[100], which_arm="right",
-                           compute_dtype="bfloat16", zshift_conv3d=True)
+                           compute_dtype="bfloat16", zshift_conv3d=True,
+                           pallas_decoder=PALLAS_DECODER)
     cfg_thr = MethodConfig(voxel_sizes=[100], which_arm="right",
                            compute_dtype="bfloat16", zshift_conv3d=False)
 
@@ -125,6 +129,21 @@ def main():
         crop50_sps = time_chain(c50, r50, p50, 1)
 
     per_chip_target = 1000.0 / 8.0
+
+    # quantified roofline accounting (tools/cost_model.py): analytic FLOPs +
+    # minimal HBM bytes of the act program vs measured relay ceilings
+    # (tools/roofline.py: ~66 GB/s HBM, ~180 TFLOP/s marginal matmul) and
+    # physical v5e specs (819 GB/s, 197 TFLOP/s bf16)
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from cost_model import act_cost, speed_of_light
+
+    cost = act_cost(n=100, batch=1, fused_decoder=PALLAS_DECODER)
+    measured_s = 1.0 / single_sps
+    relay_bw, relay_flops = 66e9, 180e12
+    sol_relay = speed_of_light(cost, relay_flops, relay_bw)
+    sol_v5e = speed_of_light(cost)
+
     out = {
         "metric": "fused voxelize+Q-forward steps/sec @100^3 grid "
                   "(1x v5e chip via relay, bf16)",
@@ -132,6 +151,14 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(float(value / per_chip_target), 3),
         "p50_latency_ms": round(1000.0 / single_sps, 2),
+        "model_gflops_per_act": round(cost["flops"] / 1e9, 1),
+        "min_hbm_mb_per_act": round(cost["bytes"] / 1e6, 1),
+        "mfu_pct": round(100 * cost["flops"] / (measured_s * relay_flops), 1),
+        "hbm_util_pct": round(100 * cost["bytes"] / (measured_s * relay_bw), 1),
+        "sol_ms_relay": round(sol_relay["sol_ms"], 2),
+        "sol_frac_relay": round(sol_relay["sol_ms"] * single_sps / 1e3, 3),
+        "sol_ms_physical_v5e": round(sol_v5e["sol_ms"], 2),
+        "projected_steps_per_s_physical_v5e": round(1e3 / sol_v5e["sol_ms"], 1),
         "platform_note": "relay-virtualized chip sustains ~66GB/s HBM (vs 819 "
                          "physical) and ~1.9ms/op; see tools/roofline.py",
     }

@@ -66,3 +66,38 @@ def test_single_head(rng):
     # argmax — the property act() actually consumes — must agree exactly
     assert (np.asarray(trans).reshape(-1).argmax()
             == np.asarray(rt).reshape(-1).argmax())
+
+
+def test_model_fused_tail_matches_xla_path(rng):
+    """Perceiver forward with pallas_decoder (interpret) == plain XLA path."""
+    import jax.numpy as jnp
+    from voxactb_tpu.models.perceiver import PerceiverVoxelLangEncoder
+
+    kw = dict(depth=1, voxel_size=10, num_latents=16, latent_dim=64,
+              im_channels=8, final_dim=8, num_rotation_classes=4,
+              voxel_patch_size=5, voxel_patch_stride=5, two_arm_heads=True,
+              num_proprio=2)
+    m_ref = PerceiverVoxelLangEncoder(**kw)
+    m_fused = PerceiverVoxelLangEncoder(**kw, pallas_decoder=True,
+                                        pallas_interpret=True)
+    grid = jnp.asarray(rng.normal(size=(1, 10, 10, 10, 10)).astype(np.float32))
+    proprio = jnp.asarray(rng.normal(size=(1, 2, 4)).astype(np.float32))
+    lang = jnp.asarray(rng.normal(size=(1, 1024)).astype(np.float32))
+    tok = jnp.asarray(rng.normal(size=(1, 77, 512)).astype(np.float32))
+    params = m_ref.init(jax.random.key(0), grid, proprio, lang, tok)
+    params2 = m_fused.init(jax.random.key(0), grid, proprio, lang, tok)
+    # identical param trees (names, shapes, values): checkpoints interchange freely
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_leaves_with_path(params2)}
+    assert set(flat2) == {jax.tree_util.keystr(k) for k, _ in flat1}
+    for k, v in flat1:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(flat2[jax.tree_util.keystr(k)]))
+
+    out_ref = m_ref.apply(params, grid, proprio, lang, tok)
+    out_fused = m_fused.apply(params, grid, proprio, lang, tok)
+    assert set(out_ref) == set(out_fused)
+    for k in out_ref:
+        np.testing.assert_allclose(np.asarray(out_fused[k]), np.asarray(out_ref[k]),
+                                   atol=2e-3, rtol=1e-2)

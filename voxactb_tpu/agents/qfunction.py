@@ -70,6 +70,9 @@ def build_encoder(cfg: MethodConfig, low_dim_size: Optional[int] = None
         fused_upsample=cfg.fused_upsample,
         pallas_stats=cfg.pallas_stats,
         zshift_conv3d=cfg.zshift_conv3d,
+        pallas_decoder=cfg.pallas_decoder,
+        pallas_encoder=cfg.pallas_encoder,
+        pallas_interpret=cfg.pallas_interpret,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )
 

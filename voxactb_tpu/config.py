@@ -96,6 +96,9 @@ class MethodConfig:
     fused_upsample: bool = True     # phase-decomposed decoder upsample-conv
     pallas_stats: bool = False      # pallas fused softargmax+maxpool (TPU only)
     zshift_conv3d: bool = True      # stride-1 k3 convs as depth-shifted 2D convs
+    pallas_decoder: bool = False    # fused decoder tail kernel (TPU inference)
+    pallas_encoder: bool = False    # fused preprocess+stats kernel (TPU inference)
+    pallas_interpret: bool = False  # run pallas kernels interpreted (CPU tests)
 
     @property
     def voxel_size(self) -> int:

@@ -72,7 +72,7 @@ class Conv3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         pad = self.kernel_size // 2
         cin = x.shape[-1]
         kernel = self.param(
@@ -80,6 +80,11 @@ class Conv3D(nn.Module):
             (self.kernel_size,) * 3 + (cin, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if return_params:
+            # fused-kernel path: create the identical param tree (names, shapes,
+            # init) but hand the weights to an external fused op instead of
+            # convolving here; x supplies only the input channel count
+            return kernel, bias
 
         if (self.s2d_matmul and self.strides == self.kernel_size
                 and self.strides > 1 and x.shape[1] % self.strides == 0):

@@ -155,6 +155,11 @@ class PerceiverVoxelLangEncoder(nn.Module):
     fused_upsample: bool = True  # phase-decomposed upsample-conv (ops/upsample_conv)
     pallas_stats: bool = False   # fused softargmax+maxpool kernel (TPU only)
     zshift_conv3d: bool = True   # decompose big stride-1 convs into 2D convs
+    pallas_decoder: bool = False  # fused final+trans+stats decoder tail (TPU,
+    # inference only — training always takes the differentiable XLA ops)
+    pallas_encoder: bool = False  # fused preprocess-conv + stats front (TPU,
+    # inference only)
+    pallas_interpret: bool = False  # run pallas kernels in interpret mode (CPU tests)
     dtype: jnp.dtype = jnp.float32
 
     def _stats(self, x):
@@ -191,10 +196,24 @@ class PerceiverVoxelLangEncoder(nn.Module):
         x_in = voxel_grid.astype(self.dtype)
 
         # 1x1x1 preprocess (perceiver_lang_io.py:357)
-        d0 = Conv3D(self.im_channels, 1, 1, self.activation, dtype=self.dtype,
-                    name="input_preprocess")(x_in)
+        use_fused_front = (
+            self.pallas_encoder and not train and not self.is_initializing()
+            and self.activation == "lrelu" and self.dtype == jnp.bfloat16
+        )
+        preprocess = Conv3D(self.im_channels, 1, 1, self.activation,
+                            dtype=self.dtype, name="input_preprocess")
+        if use_fused_front:
+            from voxactb_tpu.ops.pallas.encoder_stats import encoder_stats
 
-        kp0, gmax0 = self._stats(d0)
+            k1, b1 = preprocess(
+                jnp.zeros((1, 1, 1, 1, x_in.shape[-1]), self.dtype),
+                return_params=True)
+            d0, kp0, gmax0 = encoder_stats(
+                x_in, jnp.asarray(k1)[0, 0, 0], jnp.asarray(b1).reshape(-1),
+                interpret=self.pallas_interpret)
+        else:
+            d0 = preprocess(x_in)
+            kp0, gmax0 = self._stats(d0)
         feats = [kp0, gmax0]
 
         # patchify (perceiver_lang_io.py:363)
@@ -284,18 +303,56 @@ class PerceiverVoxelLangEncoder(nn.Module):
 
         final_conv = Conv3D(self.im_channels, 3, 1, self.activation,
                             zshift_2d=self.zshift_conv3d, dtype=self.dtype, name="final")
-        if self.no_skip_connection:
-            u = final_conv(u0)
-        elif self.no_perceiver:
-            u = final_conv(d0)
-        else:
-            u = final_conv(jnp.concatenate([d0, u0], axis=-1))
+
+        # inference fast path: the whole decoder tail (skip-concat conv + lrelu +
+        # trans decoder(s) + soft-argmax stats) as ONE pallas kernel streaming
+        # d0/u0 through VMEM once (ops/pallas/decoder_head.py). Training and
+        # ablation variants keep the differentiable XLA ops below.
+        use_fused_tail = (
+            self.pallas_decoder and not train and not self.is_initializing()
+            and not self.no_skip_connection and not self.no_perceiver
+            and self.activation == "lrelu"
+            and self.im_channels == self.final_dim  # kernel assumes equal halves
+        )
 
         out = {}
+        if use_fused_tail:
+            from voxactb_tpu.ops.pallas.decoder_head import decoder_head
+
+            dummy_cat = jnp.zeros(
+                (1, 1, 1, 1, self.im_channels + self.final_dim), self.dtype)
+            dummy_u = jnp.zeros((1, 1, 1, 1, self.im_channels), self.dtype)
+            kf, bfb = final_conv(dummy_cat, return_params=True)
+            head_names = (
+                ["trans_decoder", "trans_decoder_left"] if self.two_arm_heads
+                else ["trans_decoder"]
+            )
+            wt, bt = [], []
+            for nm in head_names:
+                k_i, b_i = Conv3D(1, 3, 1, None, zshift_2d=self.zshift_conv3d,
+                                  dtype=self.dtype, name=nm)(
+                    dummy_u, return_params=True)
+                wt.append(k_i)
+                bt.append(b_i)
+            trans_all, kp_u, gmax_u = decoder_head(
+                d0, u0, kf, jnp.asarray(bfb).reshape(-1),
+                jnp.stack(wt), jnp.concatenate(bt),
+                interpret=self.pallas_interpret,
+            )
+            u = None
+            fused_ustats = (kp_u, gmax_u)
+        else:
+            if self.no_skip_connection:
+                u = final_conv(u0)
+            elif self.no_perceiver:
+                u = final_conv(d0)
+            else:
+                u = final_conv(jnp.concatenate([d0, u0], axis=-1))
+            fused_ustats = None
 
         def mlp_heads(suffix: str):
             """ss_final/maxpool features -> dense stack -> rot+grip+collision logits."""
-            kpu, gmaxu = self._stats(u)
+            kpu, gmaxu = fused_ustats if fused_ustats is not None else self._stats(u)
             head_feats = feats + [kpu, gmaxu]
             cat = jnp.concatenate(head_feats, axis=1).astype(self.dtype)
             h0 = DenseBlock(256, self.activation, self.dtype, name=f"dense0{suffix}")(cat)
@@ -314,18 +371,25 @@ class PerceiverVoxelLangEncoder(nn.Module):
             # right + left heads off the shared trunk (perceiver_lang_io.py:828-858).
             # NOTE the reference computes ss_final per arm; we mirror that by calling
             # mlp_heads twice (each call makes its own ss_final params via name scope).
-            out["trans_right"] = Conv3D(
-                1, 3, 1, None, zshift_2d=self.zshift_conv3d, dtype=self.dtype,
-                name="trans_decoder")(u).astype(jnp.float32)
+            if use_fused_tail:
+                out["trans_right"] = trans_all[..., 0:1]
+                out["trans_left"] = trans_all[..., 1:2]
+            else:
+                out["trans_right"] = Conv3D(
+                    1, 3, 1, None, zshift_2d=self.zshift_conv3d, dtype=self.dtype,
+                    name="trans_decoder")(u).astype(jnp.float32)
+                out["trans_left"] = Conv3D(
+                    1, 3, 1, None, zshift_2d=self.zshift_conv3d, dtype=self.dtype,
+                    name="trans_decoder_left")(u).astype(jnp.float32)
             _, out["rot_grip_right"], out["collision_right"] = mlp_heads("")
-            out["trans_left"] = Conv3D(
-                1, 3, 1, None, zshift_2d=self.zshift_conv3d, dtype=self.dtype,
-                name="trans_decoder_left")(u).astype(jnp.float32)
             _, out["rot_grip_left"], out["collision_left"] = mlp_heads("_left")
         else:
-            out["trans"] = Conv3D(
-                1, 3, 1, None, zshift_2d=self.zshift_conv3d, dtype=self.dtype,
-                name="trans_decoder")(u).astype(jnp.float32)
+            if use_fused_tail:
+                out["trans"] = trans_all
+            else:
+                out["trans"] = Conv3D(
+                    1, 3, 1, None, zshift_2d=self.zshift_conv3d, dtype=self.dtype,
+                    name="trans_decoder")(u).astype(jnp.float32)
             cat, out["rot_grip"], out["collision"] = mlp_heads("")
             if self.arm_pred:
                 # arm-ID head (acting vs stabilizing), perceiver_lang_io.py:479-483

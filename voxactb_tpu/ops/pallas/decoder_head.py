@@ -52,24 +52,49 @@ def _edge_pad_row(ref, slot, interior, n):
     ref[slot, n + 1:n + 2, :, :] = ref[slot, n:n + 1, :, :]
 
 
-def _conv27(ring_ref, slots, w_ref, n, cout):
-    """acc[y,x,co] = sum_{dz,dy,dx} ring[slots[dz]][dy:dy+N, dx:dx+N, :] @ w[dz,dy,dx]."""
-    acc = jnp.zeros((n, n, cout), jnp.float32)
+def _conv27(ring_ref, slots, zbuf, w_ref, n, c, cout, interpret):
+    """acc[y,x,co] = sum_{dz,dy,dx} ring[slots[dz]][y+dy, x+dx, :] @ w[tap].
+
+    Mosaic-friendly schedule: the three z rows are channel-stacked once into
+    ``zbuf`` [N+2, N+2, 3C] (aligned lane-offset copies), the x taps become three
+    sublane rotations of the stacked row, and the y taps are free outer-dim
+    offsets — 9 aligned [N,N,3C]x[3C,cout] contractions total instead of 27
+    relayout-heavy shifted-window matmuls (which compile ~10x slower on Mosaic).
+
+    ``w_ref``: [3(dx), 3(dy), 3C, cout] with the z taps folded into the K dim.
+    """
     for dz in range(3):
-        row = ring_ref[slots[dz]]
-        for dy in range(3):
-            for dx in range(3):
-                acc = acc + jax.lax.dot_general(
-                    row[dy:dy + n, dx:dx + n, :], w_ref[dz, dy, dx],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-    return acc
+        zbuf[:, :, dz * c:(dz + 1) * c] = ring_ref[slots[dz]]
+    roll = jnp.roll if interpret else pltpu.roll
+
+    # y taps are free (dynamic) outer-dim offsets; the x tap is applied AFTER the
+    # contraction by rotating the f32 partial sums left by dx (Mosaic only rotates
+    # 32-bit data): out[x] = part[x+dx]; wrapped sublanes land at >= n+2-dx > n-1,
+    # outside the final [0:n] window. Both tap loops are fori_loops so the kernel
+    # body contains ONE dot and ONE rotate — static unrolls of all 27 taps take
+    # >30 min to compile through Mosaic; this form compiles in minutes.
+    np8 = zbuf.shape[1]  # sublane width padded to 8 (rotates require alignment)
+    acc = None
+    for dx in range(3):  # static unroll: static-shift rotates lower much cheaper
+        def dy_body(dy, part, dx=dx):
+            return part + jax.lax.dot_general(
+                zbuf[pl.ds(dy, n), :, :], w_ref[dx, dy],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        part = jax.lax.fori_loop(
+            0, 3, dy_body, jnp.zeros((n, np8, cout), jnp.float32))
+        if dx:
+            part = roll(part, np8 - dx, axis=1)
+        acc = part if acc is None else acc + part
+    return acc[:, 0:n, :]
 
 
-def _kernel(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref, pos_ref,
+def _kernel(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref, pos_h_ref, pos_w_ref,
+            pos_smem_ref,
             trans_ref, kp_ref, gmax_ref,
-            cat_ring, u_ring, stats, *, n: int, c: int, t_heads: int):
+            cat_ring, u_ring, zcat, zu, stats, *, n: int, c: int, t_heads: int,
+            interpret: bool):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -88,25 +113,28 @@ def _kernel(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref, pos_ref,
     def _compute_u():
         i = t - 1
         slots = [jax.lax.rem(jnp.maximum(i - 1 + dz, 0), 3) for dz in range(3)]
-        acc = _conv27(cat_ring, slots, wf_ref, n, c) + bf_ref[0, :c]
+        acc = _conv27(cat_ring, slots, zcat, wf_ref, n, 2 * c, c,
+                      interpret) + bf_ref[0, :c]
         u = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE).astype(cat_ring.dtype)
         _edge_pad_row(u_ring, jax.lax.rem(i, 3), u, n)
 
         # online-softmax stats over u rows (f32, matching softargmax_stats_3d on the
-        # bf16-rounded u the XLA path sees)
+        # bf16-rounded u the XLA path sees). All position math stays 2D (Mosaic has
+        # no rank-3 broadcast reshape): reduce e over one spatial axis first, then
+        # weight by the lane-replicated position matrix pos_ref[h, :] == lin[h].
         uf = u.astype(jnp.float32)
         row_max = jnp.max(uf, axis=(0, 1))                      # [C]
         m_old = stats[0, :c]
         m_new = jnp.maximum(m_old, row_max)
         corr = jnp.exp((m_old - m_new) / TEMPERATURE)
         corr = jnp.where(jnp.isfinite(corr), corr, 0.0)         # first row: m=-inf
-        e = jnp.exp((uf - m_new[None, None, :]) / TEMPERATURE)  # [N,N,C]
-        se = jnp.sum(e, axis=(0, 1))
+        e = jnp.exp((uf - m_new[None, None, :]) / TEMPERATURE)  # [H,W,C]
+        se = jnp.sum(e, axis=(0, 1))                            # [C]
         # reference quirk: E[x] <- lin[h(row-axis0)], E[y] <- lin[d(z)], E[z] <- lin[w]
-        lin_h = pos_ref[0, :n]
-        wx = jnp.sum(e * lin_h[:, None, None], axis=(0, 1))
-        wz = jnp.sum(e * lin_h[None, :, None], axis=(0, 1))
-        lin_d_i = pos_ref[0, jnp.minimum(i, n - 1)]
+        # rank-3 broadcast multiplies (Mosaic rejects partial sublane reduces)
+        wx = jnp.sum(e * pos_h_ref[0:n, :, :c], axis=(0, 1))    # pos_h: [N,1,C]
+        wz = jnp.sum(e * pos_w_ref[:, 0:n, :c], axis=(0, 1))    # pos_w: [1,N,C]
+        lin_d_i = pos_smem_ref[0, jnp.minimum(i, n - 1)]
         stats[0, :c] = m_new
         stats[1, :c] = stats[1, :c] * corr + se
         stats[2, :c] = stats[2, :c] * corr + wx
@@ -120,7 +148,8 @@ def _kernel(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref, pos_ref,
         slots = [
             jax.lax.rem(jnp.clip(z - 1 + dz, 0, n - 1), 3) for dz in range(3)
         ]
-        acc = _conv27(u_ring, slots, wt_ref, n, t_heads) + bt_ref[0, :t_heads]
+        acc = _conv27(u_ring, slots, zu, wt_ref, n, c, t_heads,
+                      interpret) + bt_ref[0, :t_heads]
         trans_ref[0, 0] = acc
 
     # 4) final program: emit stats
@@ -156,9 +185,17 @@ def decoder_head(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
     dt = d0.dtype
     cdim = 128 if c <= 128 else c  # lane-pad the stats/pos rows
 
-    wt_packed = jnp.transpose(wt[..., 0], (1, 2, 3, 4, 0))  # [3,3,3,C,T]
-    pos = jnp.zeros((1, cdim), jnp.float32).at[0, :n].set(
-        jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32))
+    # repack for _conv27's (dx, dy, z-stacked-K) schedule:
+    #   wfK[dx, dy, dz*2C + ci, co] = wf[dz, dy, dx, ci, co]
+    wf_packed = jnp.transpose(wf, (2, 1, 0, 3, 4)).reshape(3, 3, 3 * 2 * c, c)
+    #   wtK[dx, dy, dz*C + ci, t] = wt[t, dz, dy, dx, ci, 0]
+    wt_packed = jnp.transpose(wt[..., 0], (3, 2, 1, 4, 0)).reshape(
+        3, 3, 3 * c, t_heads)
+    np8 = -(-(n + 2) // 8) * 8  # rotate-aligned sublane width
+    lin = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
+    pos_h = jnp.broadcast_to(lin[:, None, None], (n, 1, cdim))  # [h,1,lanes]=lin[h]
+    pos_w = jnp.broadcast_to(lin[None, :, None], (1, n, cdim))  # [1,w,lanes]=lin[w]
+    pos_smem = lin.reshape(1, n)
     bf_row = jnp.zeros((1, cdim), jnp.float32).at[0, :c].set(bf.astype(jnp.float32))
     bt_row = jnp.zeros((1, cdim), jnp.float32).at[0, :t_heads].set(
         bt.astype(jnp.float32))
@@ -171,11 +208,13 @@ def decoder_head(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     trans, kp3, gmax = pl.pallas_call(
-        functools.partial(_kernel, n=n, c=c, t_heads=t_heads),
+        functools.partial(_kernel, n=n, c=c, t_heads=t_heads,
+                          interpret=interpret),
         grid=grid,
         in_specs=[
             row_spec(c), row_spec(c),
-            full(), full(), full(), full(), full(),
+            full(), full(), full(), full(), full(), full(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, n, n, t_heads),
@@ -192,15 +231,17 @@ def decoder_head(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
             jax.ShapeDtypeStruct((b, 1, cdim), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, n + 2, n + 2, 2 * c), dt),   # cat ring
-            pltpu.VMEM((3, n + 2, n + 2, c), dt),       # u ring
+            pltpu.VMEM((3, n + 2, np8, 2 * c), dt),     # cat ring
+            pltpu.VMEM((3, n + 2, np8, c), dt),         # u ring
+            pltpu.VMEM((n + 2, np8, 3 * 2 * c), dt),    # z-stacked cat rows
+            pltpu.VMEM((n + 2, np8, 3 * c), dt),        # z-stacked u rows
             pltpu.VMEM((5, cdim), jnp.float32),          # m, den, wx, wy, wz
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(d0.astype(dt), u0.astype(dt), wf.astype(dt), bf_row,
-      wt_packed.astype(dt), bt_row, pos)
+    )(d0.astype(dt), u0.astype(dt), wf_packed.astype(dt), bf_row,
+      wt_packed.astype(dt), bt_row, pos_h, pos_w, pos_smem)
 
     # interleave (x, y, z) per channel to the reference's flat [C*3] layout
     kp = jnp.transpose(kp3[:, :, :c], (0, 2, 1)).reshape(b, c * 3)
