@@ -139,11 +139,16 @@ class KinematicBackend(SimBackend):
 
     def set_gripper(self, which: str, open_amount: float) -> None:
         a = self._arms[which]
+        was_open = a.gripper_open >= 0.5
         a.gripper_open = float(np.clip(open_amount, 0.0, 1.0))
         if a.gripper_open < 0.5:
+            if not was_open:
+                return  # fingers already shut: closing again cannot contain anything
             if any(o.grasped_by == which for o in self._objects.values()):
                 return  # already holding something; re-closing grabs nothing new
-            # close: grab the nearest free object within grasp range
+            # closing transition: grab the nearest free object within grasp range
+            # (the kinematic stand-in for Robotiq finger-contact detection;
+            # robotiq85_gripper.grasp in the reference requires actuation + touch)
             for o in sorted(self._objects.values(),
                             key=lambda o: np.linalg.norm(
                                 o.position - a.tcp_position)):
