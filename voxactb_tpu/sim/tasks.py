@@ -610,3 +610,9 @@ TASK_REGISTRY = {
 from voxactb_tpu.sim.tasks_extra import EXTRA_TASKS  # noqa: E402
 
 TASK_REGISTRY.update({t.name: t for t in EXTRA_TASKS})
+
+# broad single-arm catalogue (press / pick-lift / pick-place / slide / hinge /
+# stack families — the rlbench/tasks/ recipe vocabulary)
+from voxactb_tpu.sim.tasks_catalogue import CATALOGUE_TASKS  # noqa: E402
+
+TASK_REGISTRY.update({t.name: t for t in CATALOGUE_TASKS})
