@@ -141,16 +141,34 @@ def _kernel(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref, pos_h_ref, pos_w_ref
         stats[3, :c] = stats[3, :c] * corr + lin_d_i * se
         stats[4, :c] = stats[4, :c] * corr + wz
 
-    # 3) trans row z = t-2 from u rows (z-1, z, z+1), clamped to [0, N-1]
+    # 3) trans row z = t-2 from u rows (z-1, z, z+1), clamped to [0, N-1].
+    #    cout = t_heads (1-2) is tiny, so 9 shifted-window dots waste the MXU on
+    #    2-lane outputs; instead ONE wide dot projects each u row onto all 9
+    #    (dy, dx) taps at once (columns ordered (dy, dx, head)) and the combine
+    #    is 9 shifted lane-group adds — measured ~2x less in-kernel time than the
+    #    9-dot form (probe: 0.074 vs 0.153 ms/row after dispatch subtraction).
     @pl.when(t >= 2)
     def _compute_trans():
         z = t - 2
         slots = [
             jax.lax.rem(jnp.clip(z - 1 + dz, 0, n - 1), 3) for dz in range(3)
         ]
-        acc = _conv27(u_ring, slots, zu, wt_ref, n, c, t_heads,
-                      interpret) + bt_ref[0, :t_heads]
-        trans_ref[0, 0] = acc
+        for dz in range(3):
+            zu[:, :, dz * c:(dz + 1) * c] = u_ring[slots[dz]]
+        roll = jnp.roll if interpret else pltpu.roll
+        np8 = zu.shape[1]
+        v = jax.lax.dot_general(
+            zu[...], wt_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [N+2, np8, 9T]
+        acc = jnp.zeros((n, np8, t_heads), jnp.float32)
+        for dx in range(3):
+            # wrapped sublanes land at x >= np8-dx > n-1, outside [0:n)
+            sh = v if dx == 0 else roll(v, np8 - dx, axis=1)
+            for dy in range(3):
+                g = (dy * 3 + dx) * t_heads
+                acc = acc + sh[dy:dy + n, :, g:g + t_heads]
+        trans_ref[0, 0] = acc[:, 0:n, :] + bt_ref[0, :t_heads]
 
     # 4) final program: emit stats
     @pl.when(t == n + 1)
@@ -188,9 +206,10 @@ def decoder_head(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
     # repack for _conv27's (dx, dy, z-stacked-K) schedule:
     #   wfK[dx, dy, dz*2C + ci, co] = wf[dz, dy, dx, ci, co]
     wf_packed = jnp.transpose(wf, (2, 1, 0, 3, 4)).reshape(3, 3, 3 * 2 * c, c)
-    #   wtK[dx, dy, dz*C + ci, t] = wt[t, dz, dy, dx, ci, 0]
-    wt_packed = jnp.transpose(wt[..., 0], (3, 2, 1, 4, 0)).reshape(
-        3, 3, 3 * c, t_heads)
+    #   wtK[dz*C + ci, (dy*3 + dx)*T + t] = wt[t, dz, dy, dx, ci, 0]
+    #   (one wide projection; the (dy, dx) taps become output lane groups)
+    wt_packed = jnp.transpose(wt[..., 0], (1, 4, 2, 3, 0)).reshape(
+        3 * c, 9 * t_heads)
     np8 = -(-(n + 2) // 8) * 8  # rotate-aligned sublane width
     lin = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
     pos_h = jnp.broadcast_to(lin[:, None, None], (n, 1, cdim))  # [h,1,lanes]=lin[h]
