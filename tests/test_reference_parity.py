@@ -162,3 +162,80 @@ def test_voxelize_matches_reference_torch(rng):
         jnp.asarray(np.tile(bounds, (b, 1))), voxel_size=n))
     assert got.shape == ref_grid.shape
     np.testing.assert_allclose(got, ref_grid, atol=1e-5, rtol=1e-5)
+
+
+REF_2ROBOTS = REF_PERCEIVER  # same file, PerceiverVoxelLang2RobotsEncoder :488
+
+
+def test_ported_reference_two_robots_forward_parity(rng):
+    """The 'one_policy_more_heads' variant vs the reference
+    PerceiverVoxelLang2RobotsEncoder (perceiver_lang_io.py:488-860): ported
+    weights must reproduce right- AND left-arm head outputs and argmaxes."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from port_torch_checkpoint import map_reference_qattention
+
+    import jax.numpy as jnp
+
+    ref = _load_ref_module(REF_PERCEIVER, "ref_perceiver_lang_io_2r")
+    torch.manual_seed(0)
+    enc_t = ref.PerceiverVoxelLang2RobotsEncoder(
+        iterations=1, input_dropout=0.0, attn_dropout=0.0, decoder_dropout=0.0,
+        **CFG)
+    enc_t.eval()
+
+    grid, proprio, lang_goal, lang_tok = _inputs(rng)
+    proprio_left = rng.normal(size=proprio.shape).astype(np.float32)
+
+    with torch.no_grad():
+        out_t = enc_t(
+            torch.from_numpy(grid).permute(0, 4, 1, 2, 3),
+            torch.from_numpy(proprio), torch.from_numpy(proprio_left),
+            torch.from_numpy(lang_goal), torch.from_numpy(lang_tok),
+            None, None, None,
+        )
+    trans_r = out_t[0].permute(0, 2, 3, 4, 1).numpy()
+    rot_grip_r, collision_r = out_t[1].numpy(), out_t[2].numpy()
+    trans_l = out_t[3].permute(0, 2, 3, 4, 1).numpy()
+    rot_grip_l, collision_l = out_t[4].numpy(), out_t[5].numpy()
+
+    params = map_reference_qattention(
+        enc_t.state_dict(), depth=CFG["depth"], two_arm_heads=True)
+
+    from voxactb_tpu.models.perceiver import PerceiverVoxelLangEncoder
+
+    enc_j = PerceiverVoxelLangEncoder(
+        depth=CFG["depth"], voxel_size=CFG["voxel_size"],
+        initial_dim=CFG["initial_dim"], low_dim_size=CFG["low_dim_size"],
+        num_latents=CFG["num_latents"], latent_dim=CFG["latent_dim"],
+        im_channels=CFG["im_channels"], final_dim=CFG["final_dim"],
+        cross_heads=CFG["cross_heads"], latent_heads=CFG["latent_heads"],
+        cross_dim_head=CFG["cross_dim_head"],
+        latent_dim_head=CFG["latent_dim_head"],
+        voxel_patch_size=CFG["voxel_patch_size"],
+        voxel_patch_stride=CFG["voxel_patch_stride"],
+        activation=CFG["activation"], num_proprio=2, two_arm_heads=True,
+        input_dropout=0.0, attn_dropout=0.0, decoder_dropout=0.0,
+        fused_upsample=False, zshift_conv3d=False, pallas_stats=False,
+    )
+    stacked = np.stack([proprio, proprio_left], axis=1)  # [B, 2, low_dim]
+    out_j = enc_j.apply(params, jnp.asarray(grid), jnp.asarray(stacked),
+                        jnp.asarray(lang_goal), jnp.asarray(lang_tok))
+
+    for key, want in (("trans_right", trans_r), ("rot_grip_right", rot_grip_r),
+                      ("collision_right", collision_r), ("trans_left", trans_l),
+                      ("rot_grip_left", rot_grip_l),
+                      ("collision_left", collision_l)):
+        np.testing.assert_allclose(np.asarray(out_j[key]), want,
+                                   atol=2e-4, rtol=2e-4, err_msg=key)
+
+    b = grid.shape[0]
+    for key, want in (("trans_right", trans_r), ("trans_left", trans_l)):
+        assert (np.asarray(out_j[key]).reshape(b, -1).argmax(-1)
+                == want.reshape(b, -1).argmax(-1)).all(), key
+    for key, want in (("rot_grip_right", rot_grip_r),
+                      ("rot_grip_left", rot_grip_l)):
+        got = np.asarray(out_j[key])
+        for s in range(3):
+            seg = slice(72 * s, 72 * (s + 1))
+            assert (got[:, seg].argmax(-1) == want[:, seg].argmax(-1)).all(), key
+        assert (got[:, 216:].argmax(-1) == want[:, 216:].argmax(-1)).all(), key
