@@ -74,13 +74,67 @@ def replicate(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+# -- tensor / sequence parallelism (TPU-native; the reference has none — §2.7) -----
+
+# megatron-style rules by param-path substring: column-parallel projections shard
+# their OUTPUT features, row-parallel projections shard their INPUT features, so a
+# (col -> row) pair needs exactly one psum at the row output (GSPMD inserts it).
+_TP_COL = ("to_q/kernel", "to_kv/kernel", "w_in/kernel", "dense0")
+_TP_ROW = ("to_out/kernel", "w_out/kernel")
+
+
+def tp_param_spec(path: str, shape: Sequence[int], tp_size: int,
+                  sp_size: int = 1) -> Optional[P]:
+    """Megatron-style PartitionSpec for one param, or None when no rule applies.
+
+    - attention q/kv and MLP up-projections: column-parallel (shard out dim)
+    - attention out and MLP down-projections: row-parallel (shard in dim)
+    - conv kernels (rank 5): shard output channels
+    - ``latents`` table: shard the latent-sequence axis over ``sp`` (the natural
+      "sequence" scale axis of the Perceiver — SURVEY §5 long-context note)
+    """
+    if not shape:
+        return None
+    if path.endswith("latents") and sp_size > 1 and shape[0] % sp_size == 0:
+        return P("sp", *([None] * (len(shape) - 1)))
+    if tp_size <= 1:
+        return None
+    if any(s in path for s in _TP_COL) and len(shape) == 2 \
+            and shape[1] % tp_size == 0:
+        return P(None, "tp")
+    if any(s in path for s in _TP_ROW) and len(shape) == 2 \
+            and shape[0] % tp_size == 0:
+        return P("tp", None)
+    if len(shape) == 5 and shape[-1] % tp_size == 0 and shape[-1] >= 2 * tp_size:
+        return P(None, None, None, None, "tp")
+    return None
+
+
+def shard_params_model_parallel(mesh: Mesh, params):
+    """NamedShardings combining tp/sp rules with the fsdp fallback."""
+    tp_size = mesh.shape.get("tp", 1)
+    sp_size = mesh.shape.get("sp", 1)
+    fsdp_size = mesh.shape.get("fsdp", 1)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    shards = []
+    for path, leaf in flat:
+        pstr = "/".join(str(getattr(p, "key", p)) for p in path)
+        spec = tp_param_spec(pstr, leaf.shape, tp_size, sp_size)
+        if spec is None and fsdp_size > 1:
+            spec = fsdp_param_spec(leaf.shape, fsdp_size)
+        shards.append(NamedSharding(mesh, spec if spec is not None else P()))
+    return jax.tree_util.tree_unflatten(treedef, shards)
+
+
 def make_parallel_train_step(mesh: Mesh, init_fn, train_step, example_batch,
-                             rng, fsdp: bool = False):
+                             rng, fsdp: bool = False, model_parallel: bool = False):
     """Place state + batch on the mesh and return (state, sharded_step).
 
     - batch: leading dim over ``dp`` (+ ``fsdp`` if present, flattened data-parallel —
       the standard 2D "dp x fsdp both consume batch" layout);
-    - params/opt state: replicated, or largest-dim sharded over ``fsdp``;
+    - params/opt state: replicated, or largest-dim sharded over ``fsdp``, or
+      (``model_parallel=True``) megatron tp + latent-sequence sp + fsdp fallback;
     - gradients all-reduce over ICI automatically via jit's SPMD partitioner.
     """
     data_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.axis_names) or \
@@ -99,7 +153,14 @@ def make_parallel_train_step(mesh: Mesh, init_fn, train_step, example_batch,
         }
 
     state = init_fn(rng, example_batch)
-    if fsdp and "fsdp" in mesh.axis_names:
+    if model_parallel:
+        param_shards = shard_params_model_parallel(mesh, state.params)
+        state = state.replace(
+            params=jax.tree.map(jax.device_put, state.params, param_shards),
+            opt_state=jax.device_put(state.opt_state, replicate(mesh)),
+            step=jax.device_put(state.step, replicate(mesh)),
+        )
+    elif fsdp and "fsdp" in mesh.axis_names:
         param_shards = shard_params_fsdp(mesh, state.params)
         state = state.replace(
             params=jax.tree.map(jax.device_put, state.params, param_shards),
