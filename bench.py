@@ -25,9 +25,11 @@ import numpy as np
 
 N_CHAIN = 16
 BATCH = 8
-# fused pallas decoder tail in the latency-mode config (ops/pallas/decoder_head);
-# flipped on once proven faster on-chip — BENCH_PALLAS_DECODER=0/1 overrides
-PALLAS_DECODER = os.environ.get("BENCH_PALLAS_DECODER", "0") == "1"
+# fused pallas encoder/decoder kernels in the latency-mode config (ops/pallas/):
+# paired A/B on-chip (3 reps, one process): pallas 41.43 vs XLA 42.78 ms median,
+# consistent across reps; isolated decoder tail 17.5 vs 21.2 ms. Defaults ON.
+PALLAS_DECODER = os.environ.get("BENCH_PALLAS_DECODER", "1") == "1"
+PALLAS_ENCODER = os.environ.get("BENCH_PALLAS_ENCODER", "1") == "1"
 
 
 def build_chain(cfg, batch, params=None):
@@ -91,6 +93,72 @@ def time_chain(chained, rgbs, pcds, batch):
     return N_CHAIN * batch / wall
 
 
+def time_train_chain(batch: int, n_steps: int = 8):
+    """Chained BC train steps/sec at the canonical 50^3 training config."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxactb_tpu.agents.qfunction import make_optimizer, make_train_step
+    from voxactb_tpu.config import MethodConfig
+
+    cfg = MethodConfig(voxel_sizes=[50], which_arm="dominant", arm_pred_loss=True,
+                       crop_target_obj_voxel=True, crop_radius=0.3,
+                       compute_dtype="bfloat16", apply_se3=True)
+    cameras = ["wrist", "wrist2"]
+    optimizer = make_optimizer(cfg, training_iterations=100_000)
+    _, init_fn, step_fn = make_train_step(cfg, optimizer, cameras)
+
+    rng = np.random.default_rng(0)
+    b, img = batch, 128
+    batch_np = {
+        "trans_action_indicies": rng.integers(0, 50, (b, 3)).astype(np.int32),
+        "rot_grip_action_indicies": np.concatenate(
+            [rng.integers(0, 72, (b, 3)), rng.integers(0, 2, (b, 1))], -1
+        ).astype(np.int32),
+        "ignore_collisions": rng.integers(0, 2, (b, 1)).astype(np.int32),
+        "gripper_pose": np.concatenate(
+            [rng.uniform([-0.1, -0.3, 0.6], [0.4, 0.3, 1.0], (b, 3)),
+             rng.normal(size=(b, 4))], -1).astype(np.float32),
+        "lang_goal_emb": rng.normal(size=(b, 1024)).astype(np.float32),
+        "lang_token_embs": rng.normal(size=(b, 77, 512)).astype(np.float32),
+        "low_dim_state": rng.normal(size=(b, cfg.low_dim_size())).astype(np.float32),
+        "label": rng.integers(0, 2, (b, 1)).astype(np.int32),
+        "scene_bounds": np.asarray([-0.3, -0.5, 0.4, 0.5, 0.5, 1.2], np.float32),
+        # per-sample VLM-crop bounds (launch_utils.py:341-347 signature)
+        "target_object_scene_bounds": np.tile(
+            np.asarray([-0.1, -0.3, 0.5, 0.5, 0.3, 1.1], np.float32), (b, 1)),
+    }
+    batch_np["gripper_pose"][:, 3:] /= np.linalg.norm(
+        batch_np["gripper_pose"][:, 3:], axis=-1, keepdims=True)
+    for c in cameras:
+        batch_np[f"{c}_rgb"] = rng.integers(
+            0, 255, (b, img, img, 3)).astype(np.float32)
+        batch_np[f"{c}_point_cloud"] = rng.uniform(
+            -0.3, 1.2, (b, img, img, 3)).astype(np.float32)
+    device_batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    state = jax.jit(init_fn)(jax.random.key(0), device_batch)
+
+    @jax.jit
+    def chained(state, batch, key):
+        def one(carry, k):
+            st, _ = carry
+            st, metrics = step_fn(st, batch, k)
+            return (st, metrics["total_loss"]), None
+        keys = jax.random.split(key, n_steps)
+        (state, loss), _ = jax.lax.scan(one, (state, 0.0), keys)
+        return state, loss
+
+    state, loss = chained(state, device_batch, jax.random.key(1))  # compile+warm
+    assert np.isfinite(float(np.asarray(loss)))
+    t0 = time.perf_counter()
+    _, loss = chained(state, device_batch, jax.random.key(2))
+    loss = float(np.asarray(loss))  # fetch INSIDE the timed region (axon relay
+    wall = time.perf_counter() - t0  # returns from dispatch before execution)
+    assert np.isfinite(loss)
+    return n_steps * batch / wall
+
+
 def main():
     import jax
 
@@ -106,7 +174,8 @@ def main():
     # throughput mode: plain conv3d wins at batch 8 (25.2 vs 19.8 steps/s)
     cfg_lat = MethodConfig(voxel_sizes=[100], which_arm="right",
                            compute_dtype="bfloat16", zshift_conv3d=True,
-                           pallas_decoder=PALLAS_DECODER)
+                           pallas_decoder=PALLAS_DECODER,
+                           pallas_encoder=PALLAS_ENCODER)
     cfg_thr = MethodConfig(voxel_sizes=[100], which_arm="right",
                            compute_dtype="bfloat16", zshift_conv3d=False)
 
@@ -119,6 +188,16 @@ def main():
         thr_chain, r8, p8 = build_chain(cfg_thr, batch=BATCH)
         batched_sps = time_chain(thr_chain, r8, p8, BATCH)
         value = max(value, batched_sps)
+
+    # BC train-step throughput at the canonical training point: 50^3 VLM-cropped
+    # grid, LAMB, SE(3) aug on device (BASELINE staged config #4; the reference
+    # trains this at batch 1 on one GPU — scripts/train_open_jar_*.sh)
+    train_sps = None
+    if os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        try:
+            train_sps = time_train_chain(batch=8)
+        except Exception:
+            train_sps = None
 
     # the VoxAct-B operating point: 50^3 VLM-cropped grid (launch_utils.py:341-347)
     crop50_sps = None
@@ -164,6 +243,8 @@ def main():
     }
     if batched_sps is not None:
         out["batched8_steps_per_s"] = round(float(batched_sps), 2)
+    if train_sps is not None:
+        out["train50_samples_per_s"] = round(float(train_sps), 2)
     if crop50_sps is not None:
         out["crop50_steps_per_s"] = round(float(crop50_sps), 2)
         out["crop50_latency_ms"] = round(1000.0 / crop50_sps, 2)

@@ -64,7 +64,30 @@ def main():
             acc = y if acc is None else acc + y
         return acc.reshape(b, d, h, w, cout).astype(bf)
 
+    # attention trunk at the real operating point: cross-attn(2048 latents over
+    # 8077 tokens) + 6 self-attn+ff + decoder cross-attn back to the sequence
+    from voxactb_tpu.models.perceiver import PerceiverVoxelLangEncoder
+
+    trunk = PerceiverVoxelLangEncoder(
+        depth=6, voxel_size=N, initial_dim=10, low_dim_size=4,
+        num_latents=2048, latent_dim=512, im_channels=64, final_dim=64,
+        input_dropout=0.0, attn_dropout=0.0, decoder_dropout=0.0,
+        dtype=bf, zshift_conv3d=True,
+    )
+    grid10 = jnp.asarray(rng.normal(size=(1, N, N, N, 10)).astype(np.float32))
+    pro = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+    lg = jnp.asarray(rng.normal(size=(1, 1024)).astype(np.float32))
+    lt = jnp.asarray(rng.normal(size=(1, 77, 512)).astype(np.float32))
+    trunk_params = jax.jit(trunk.init)(jax.random.key(0), grid10, pro, lg, lt)
+    grids = jnp.asarray(rng.normal(
+        size=(N_CHAIN, 1, N, N, N, 10)).astype(np.float32))
+
     stages = {
+        "full_qforward@100": (
+            grids, lambda g: trunk.apply(trunk_params, g, pro, lg, lt)),
+        "preprocess_1x1_10->64@100": (
+            grids, lambda g: jnp.einsum(
+                "bdhwc,cf->bdhwf", g.astype(bf), k3[0, 0, 0, :10, :]).astype(bf)),
         "voxelize_32k->100^3": (
             (pts, ptf),
             lambda xs: voxelize(xs[0], xs[1], vox_bounds, voxel_size=100)),

@@ -23,6 +23,43 @@ from flax import linen as nn
 LRELU_SLOPE = 0.02
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_f32acc(x, kernel, strides, dimension_numbers):
+    """Convolution with exact f32 accumulation AND a working bf16 backward.
+
+    ``preferred_element_type=f32`` on bf16 inputs breaks ``jax.grad`` (the
+    transposed conv receives an f32 cotangent against bf16 operands); this
+    wrapper keeps the f32-accumulate forward (inference parity depends on it)
+    and runs the backward as standard mixed precision: the cotangent is cast to
+    the operand dtype before the transposed convs — the torch-AMP convention.
+    """
+    return jax.lax.conv_general_dilated(
+        x, kernel, strides, "VALID", dimension_numbers=dimension_numbers,
+        preferred_element_type=jnp.float32)
+
+
+def _conv_f32acc_fwd(x, kernel, strides, dimension_numbers):
+    return _conv_f32acc(x, kernel, strides, dimension_numbers), (x, kernel)
+
+
+def _conv_f32acc_bwd(strides, dimension_numbers, res, g):
+    x, kernel = res
+
+    def plain(x_, k_):
+        return jax.lax.conv_general_dilated(
+            x_, k_, strides, "VALID", dimension_numbers=dimension_numbers)
+
+    _, vjp = jax.vjp(plain, x, kernel)
+    dx, dk = vjp(g.astype(x.dtype))
+    return dx, dk
+
+
+_conv_f32acc.defvjp(_conv_f32acc_fwd, _conv_f32acc_bwd)
+
+
 def act_fn(name: Optional[str]):
     """Activation registry (network_utils.py:15-27)."""
     if name is None:
@@ -118,21 +155,15 @@ class Conv3D(nn.Module):
             acc = None
             for dz in range(self.kernel_size):
                 sl = x[:, dz:dz + d_out].reshape(b * d_out, hp, wp, cin)
-                y = jax.lax.conv_general_dilated(
-                    sl, kernel[dz], (1, 1), "VALID",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.float32,
-                )
+                y = _conv_f32acc(sl, kernel[dz], (1, 1),
+                                 ("NHWC", "HWIO", "NHWC"))
                 acc = y if acc is None else acc + y
             h_out, w_out = hp - 2 * pad, wp - 2 * pad
             out = (acc + bias).reshape(b, d_out, h_out, w_out, self.features)
             return act_fn(self.activation)(out.astype(self.dtype))
 
-        y = jax.lax.conv_general_dilated(
-            x, kernel, (self.strides,) * 3, "VALID",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
-        )
+        y = _conv_f32acc(x, kernel, (self.strides,) * 3,
+                         ("NDHWC", "DHWIO", "NDHWC"))
         return act_fn(self.activation)((y + bias).astype(self.dtype))
 
 

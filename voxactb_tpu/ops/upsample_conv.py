@@ -25,6 +25,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from voxactb_tpu.models.blocks import _conv_f32acc
 import numpy as np
 
 
@@ -80,13 +82,9 @@ def upsample_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     comp = compose_upsample_kernel(kernel, scale)
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)), mode="edge")
-    y = jax.lax.conv_general_dilated(
-        xp, comp,
-        window_strides=(1, 1, 1),
-        padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    )  # [B, D, D, D, scale^3 * Cout]
+    # _conv_f32acc: f32-accumulate forward with a bf16-safe custom backward
+    y = _conv_f32acc(xp, comp.astype(x.dtype), (1, 1, 1),
+                     ("NDHWC", "DHWIO", "NDHWC"))  # [B, D, D, D, scale^3 * Cout]
 
     # depth-to-space: [B,D,D,D,(s,s,s,Cout)] -> [B, sD, sD, sD, Cout]
     y = y.reshape(b, d, d, d, scale, scale, scale, cout)
@@ -103,9 +101,6 @@ def reference_upsample_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
         x, (b, d * scale, d * scale, d * scale, cin), method="trilinear")
     pad = kernel.shape[0] // 2
     up = jnp.pad(up, ((0, 0),) + ((pad, pad),) * 3 + ((0, 0),), mode="edge")
-    y = jax.lax.conv_general_dilated(
-        up, kernel, (1, 1, 1), "VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    y = _conv_f32acc(up, kernel.astype(x.dtype), (1, 1, 1),
+                     ("NDHWC", "DHWIO", "NDHWC"))
     return (y + bias).astype(x.dtype)

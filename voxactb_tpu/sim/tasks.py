@@ -616,3 +616,7 @@ TASK_REGISTRY.update({t.name: t for t in EXTRA_TASKS})
 from voxactb_tpu.sim.tasks_catalogue import CATALOGUE_TASKS  # noqa: E402
 
 TASK_REGISTRY.update({t.name: t for t in CATALOGUE_TASKS})
+
+from voxactb_tpu.sim.tasks_catalogue2 import CATALOGUE2_TASKS  # noqa: E402
+
+TASK_REGISTRY.update({t.name: t for t in CATALOGUE2_TASKS})
