@@ -98,3 +98,57 @@ def test_native_stride_mismatch_detected(tmp_path, rng):
     other_sig = bc_replay_signature(["wrist"], (16, 16), low_dim_size=4)
     with pytest.raises(IOError, match="row stride"):
         NativeReplayBuffer(8, other_sig, path)
+
+
+def test_async_batch_sampler(tmp_path, rng):
+    """C++ producer threads deliver valid batches concurrently with writes."""
+    from voxactb_tpu.replay.native_buffer import AsyncBatchSampler
+
+    buf = NativeReplayBuffer(64, sig(), str(tmp_path / "replay.bin"))
+    ts = [trans(rng, i) for i in range(16)]
+    buf.extend(ts)
+
+    sampler = AsyncBatchSampler(buf, batch_size=8, ring_size=3, num_threads=2,
+                                seed=7)
+    try:
+        rewards = {float(t["reward"]) for t in ts}
+        for _ in range(20):
+            batch = sampler.next()
+            assert batch["wrist_rgb"].shape == (8, 8, 8, 3)
+            assert batch["lang_token_embs"].shape == (8, 77, 512)
+            # every sampled row must be one of the written transitions
+            assert set(np.asarray(batch["reward"]).tolist()) <= rewards
+        # writes during sampling are picked up (monotone add counter)
+        buf.add(trans(rng, 99))
+        seen_new = any(99.0 in np.asarray(sampler.next()["reward"]).tolist()
+                       for _ in range(50))
+        assert seen_new
+    finally:
+        sampler.close()
+        buf.close()
+
+
+def test_async_batch_sampler_blocks_until_filled(tmp_path, rng):
+    """Producers wait for the store to hold a full batch before publishing."""
+    import threading
+    import time
+
+    from voxactb_tpu.replay.native_buffer import AsyncBatchSampler
+
+    buf = NativeReplayBuffer(32, sig(), str(tmp_path / "replay.bin"))
+    sampler = AsyncBatchSampler(buf, batch_size=4, ring_size=2, num_threads=1)
+    got = {}
+
+    def consume():
+        got["batch"] = sampler.next()
+
+    th = threading.Thread(target=consume, daemon=True)
+    th.start()
+    time.sleep(0.15)
+    assert "batch" not in got  # nothing written yet -> sampler must block
+    for i in range(4):
+        buf.add(trans(rng, i))
+    th.join(timeout=5.0)
+    assert "batch" in got and got["batch"]["wrist_rgb"].shape[0] == 4
+    sampler.close()
+    buf.close()

@@ -71,6 +71,16 @@ def load_native() -> ctypes.CDLL:
     lib.rs_flush.argtypes = [vp]
     lib.rs_close.restype = None
     lib.rs_close.argtypes = [vp]
+    lib.bs_start.restype = vp
+    lib.bs_start.argtypes = [vp, u64, ctypes.c_int, ctypes.c_int, u64]
+    lib.bs_acquire.restype = ctypes.c_int
+    lib.bs_acquire.argtypes = [vp]
+    lib.bs_buffer.restype = vp
+    lib.bs_buffer.argtypes = [vp, ctypes.c_int]
+    lib.bs_release.restype = None
+    lib.bs_release.argtypes = [vp, ctypes.c_int]
+    lib.bs_stop.restype = None
+    lib.bs_stop.argtypes = [vp]
 
     with _lock:
         _lib = lib

@@ -188,6 +188,129 @@ void rs_flush(void* handle) {
   ::msync(s->base, s->map_bytes, MS_SYNC);
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------------
+// Async batch sampler: the native counterpart of the reference's
+// DataLoader(num_workers, pin_memory) feed (pytorch_replay_buffer.py:75-82).
+// Producer threads sample uniform transition indices, gather rows into a ring of
+// pre-allocated batch buffers, and publish them; the consumer (Python) acquires a
+// ready buffer (zero-copy numpy view), then releases it back to the free list.
+// ---------------------------------------------------------------------------------
+
+#include <chrono>
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <random>
+
+namespace {
+
+struct Sampler {
+  Store* store = nullptr;
+  uint64_t batch = 0;
+  uint64_t row_bytes = 0;
+  std::vector<std::vector<uint8_t>> ring;
+  std::deque<int> free_bufs;
+  std::deque<int> ready_bufs;
+  std::mutex mu;
+  std::condition_variable cv_free, cv_ready;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+  uint64_t seed = 0;
+
+  void worker(int wid) {
+    std::mt19937_64 rng(seed + 0x9e3779b97f4a7c15ull * (wid + 1));
+    while (!stop.load(std::memory_order_relaxed)) {
+      int buf = -1;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_free.wait(lk, [&] { return stop.load() || !free_bufs.empty(); });
+        if (stop.load()) return;
+        buf = free_bufs.front();
+        free_bufs.pop_front();
+      }
+      // wait for enough transitions (the reference blocks the data iter the
+      // same way until the replay holds a batch)
+      uint64_t size;
+      while ((size = rs_size(store)) < batch && !stop.load()) {
+        std::this_thread::sleep_for(std::chrono::milliseconds(1));
+      }
+      if (stop.load()) return;
+      uint8_t* dst = ring[buf].data();
+      for (uint64_t i = 0; i < batch; ++i) {
+        uint64_t idx = rng() % size;
+        std::memcpy(dst + i * row_bytes,
+                    store->rows + row_slot(store, idx) * row_bytes, row_bytes);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        ready_bufs.push_back(buf);
+      }
+      cv_ready.notify_one();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Start the engine: `ring_size` batch buffers, `num_threads` producers.
+void* bs_start(void* store_handle, uint64_t batch, int ring_size,
+               int num_threads, uint64_t seed) {
+  auto* sm = new Sampler();
+  sm->store = (Store*)store_handle;
+  sm->batch = batch;
+  sm->row_bytes = sm->store->header->row_bytes;
+  sm->seed = seed;
+  sm->ring.resize(ring_size);
+  for (int i = 0; i < ring_size; ++i) {
+    sm->ring[i].resize(batch * sm->row_bytes);
+    sm->free_bufs.push_back(i);
+  }
+  for (int w = 0; w < num_threads; ++w) {
+    sm->workers.emplace_back([sm, w] { sm->worker(w); });
+  }
+  return sm;
+}
+
+// Block until a batch is ready; returns its ring index.
+int bs_acquire(void* handle) {
+  auto* sm = (Sampler*)handle;
+  std::unique_lock<std::mutex> lk(sm->mu);
+  sm->cv_ready.wait(lk, [&] { return sm->stop.load() || !sm->ready_bufs.empty(); });
+  if (sm->ready_bufs.empty()) return -1;
+  int buf = sm->ready_bufs.front();
+  sm->ready_bufs.pop_front();
+  return buf;
+}
+
+// Pointer to a ring buffer's bytes (valid until bs_release of that index).
+void* bs_buffer(void* handle, int buf) {
+  auto* sm = (Sampler*)handle;
+  return sm->ring[buf].data();
+}
+
+// Hand the buffer back to the producers.
+void bs_release(void* handle, int buf) {
+  auto* sm = (Sampler*)handle;
+  {
+    std::lock_guard<std::mutex> lk(sm->mu);
+    sm->free_bufs.push_back(buf);
+  }
+  sm->cv_free.notify_one();
+}
+
+void bs_stop(void* handle) {
+  auto* sm = (Sampler*)handle;
+  sm->stop.store(true);
+  sm->cv_free.notify_all();
+  sm->cv_ready.notify_all();
+  for (auto& t : sm->workers) t.join();
+  delete sm;
+}
+
 void rs_close(void* handle) {
   Store* s = (Store*)handle;
   if (s->base) ::munmap(s->base, s->map_bytes);

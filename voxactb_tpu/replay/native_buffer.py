@@ -136,4 +136,48 @@ class NativeReplayBuffer:
     def close(self) -> None:
         if self._handle:
             self._lib.rs_close(self._handle)
+
+
+class AsyncBatchSampler:
+    """Native background batch feed — C++ producer threads gather batches into a
+    ring of buffers while the train loop computes (the DataLoader(num_workers,
+    pin_memory) role, pytorch_replay_buffer.py:75-82, with the gather + sampling
+    entirely off the GIL).
+
+    Usage::
+
+        sampler = AsyncBatchSampler(buf, batch_size=8)
+        for _ in range(steps):
+            batch = sampler.next()      # dict of numpy arrays (copied out)
+        sampler.close()
+    """
+
+    def __init__(self, buffer: NativeReplayBuffer, batch_size: int,
+                 ring_size: int = 4, num_threads: int = 2, seed: int = 0):
+        self._buf = buffer
+        self._lib = buffer._lib
+        self._batch = batch_size
+        self._handle = self._lib.bs_start(
+            buffer._handle, batch_size, ring_size, num_threads, seed)
+        if not self._handle:
+            raise RuntimeError("failed to start native batch sampler")
+
+    def next(self) -> Dict[str, np.ndarray]:
+        slot = int(self._lib.bs_acquire(self._handle))
+        if slot < 0:
+            raise RuntimeError("native batch sampler stopped")
+        try:
+            ptr = self._lib.bs_buffer(self._handle, slot)
+            rows = np.ctypeslib.as_array(
+                ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+                shape=(self._batch, self._buf.row_bytes))
+            # _unpack copies (tobytes), so the view never escapes the ring slot
+            return self._buf._unpack(rows)
+        finally:
+            self._lib.bs_release(self._handle, slot)
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.bs_stop(self._handle)
+            self._handle = None
             self._handle = None
