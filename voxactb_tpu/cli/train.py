@@ -50,8 +50,19 @@ def build_replay_and_agent(cfg, lang_encoder=None, demos=None):
         arm_pred_loss=m.arm_pred_loss,
         two_arm=m.which_arm == "both",
     )
-    replay = TaskUniformReplayBuffer(
-        capacity=int(1e5), signature=sig, seed=cfg.seed)
+    if cfg.replay.use_disk:
+        # disk-mode replay: native mmap store (the reference's one-pickle-per-
+        # transition disk mode, uniform sampling) + C++ async batch feed
+        from voxactb_tpu.replay.native_buffer import NativeReplayBuffer
+
+        os.makedirs(cfg.replay.path, exist_ok=True)
+        replay = NativeReplayBuffer(
+            capacity=int(1e5), signature=sig,
+            path=os.path.join(cfg.replay.path, f"seed{cfg.seed}.replay"),
+            seed=cfg.seed)
+    else:
+        replay = TaskUniformReplayBuffer(
+            capacity=int(1e5), signature=sig, seed=cfg.seed)
 
     if demos is None and cfg.rlbench.demo_path == "sim":
         # record scripted demos live from the built-in sim benchmark
@@ -179,10 +190,22 @@ def _train_one(cfg, demos=None, lang_encoder=None):
 
     scene_bounds = np.asarray(cfg.rlbench.scene_bounds, np.float32)
 
-    def sample():
-        batch = replay.sample_transition_batch(cfg.replay.batch_size)
-        batch["scene_bounds"] = scene_bounds
-        return batch
+    from voxactb_tpu.replay.native_buffer import AsyncBatchSampler, \
+        NativeReplayBuffer
+
+    if isinstance(replay, NativeReplayBuffer):
+        native_feed = AsyncBatchSampler(
+            replay, cfg.replay.batch_size, seed=cfg.seed)
+
+        def sample():
+            batch = native_feed.next()
+            batch["scene_bounds"] = scene_bounds
+            return batch
+    else:
+        def sample():
+            batch = replay.sample_transition_batch(cfg.replay.batch_size)
+            batch["scene_bounds"] = scene_bounds
+            return batch
 
     dataset = PrefetchIterator(sample)
     runner = OfflineTrainRunner(
