@@ -255,3 +255,40 @@ def test_demo_augmentation_multiplies_samples(rng):
     assert split(0) == "left" and split(4) == "left"
     assert split(5) == "right" and split(9) == "right"
     assert reference_split_arm_fn(1)(0) == "left"
+
+
+def test_real_world_demo_reader(tmp_path):
+    """RealWorldDemoReader: raw uint16 depth -> meters, front camera only
+    (rlbench/utils.py:281-360 semantics)."""
+    import pickle
+
+    from PIL import Image
+
+    from voxactb_tpu.data.rlbench_format import RealWorldDemoReader
+
+    from types import SimpleNamespace
+
+    ep = tmp_path / "open_jar" / "variation0" / "episodes" / "episode0"
+    (ep / "front_rgb").mkdir(parents=True)
+    (ep / "front_depth").mkdir()
+    obs_list = [SimpleNamespace(), SimpleNamespace()]
+    for i in range(2):
+        Image.fromarray(
+            np.full((8, 8, 3), 10 * (i + 1), np.uint8)).save(
+            ep / "front_rgb" / f"{i}.png")
+        Image.fromarray(
+            np.full((8, 8), 1500 * (i + 1), np.uint16)).save(
+            ep / "front_depth" / f"{i}.png")
+    with open(ep / "low_dim_obs.pkl", "wb") as f:
+        pickle.dump(obs_list, f)
+    with open(ep / "variation_descriptions.pkl", "wb") as f:
+        pickle.dump(["open the jar"], f)
+
+    reader = RealWorldDemoReader(str(tmp_path))
+    demos = reader.load("open_jar", amount=1)
+    assert len(demos) == 1
+    o0, o1 = demos[0].observations
+    assert o0.front_rgb.shape == (8, 8, 3)
+    np.testing.assert_allclose(o0.front_depth, 1.5)   # 1500 mm -> 1.5 m
+    np.testing.assert_allclose(o1.front_depth, 3.0)
+    assert demos[0].descriptions == ["open the jar"]

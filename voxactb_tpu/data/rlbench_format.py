@@ -193,3 +193,31 @@ class DemoReader:
                         setattr(obs, f"{cam}_point_cloud",
                                 pointcloud_from_depth(depth_m, np.asarray(ext),
                                                       np.asarray(intr)))
+
+
+class RealWorldDemoReader(DemoReader):
+    """Real-robot recorded demos (rlbench/utils.py:281 ``get_stored_real_world_demos``).
+
+    Differences from sim datasets: a single ``front`` RealSense camera, depth PNGs
+    store RAW sensor depth (uint16 millimeters — no 24-bit sim recode), and there is
+    no camera misc block — deprojection happens later against the live RealSense
+    intrinsics (eval_real.py:167), so depth is attached in meters and no point cloud
+    is synthesized here.
+    """
+
+    def __init__(self, dataset_root: str, depth_scale: float = 1000.0):
+        super().__init__(dataset_root, cameras=("front",), load_images=True)
+        self._depth_scale = depth_scale
+
+    def _attach_images(self, episode_dir: str, observations: List) -> None:
+        from PIL import Image
+
+        for i, obs in enumerate(observations):
+            fname = IMAGE_FORMAT % i
+            rgb_p = os.path.join(episode_dir, "front_rgb", fname)
+            depth_p = os.path.join(episode_dir, "front_depth", fname)
+            if os.path.exists(rgb_p):
+                obs.front_rgb = np.asarray(Image.open(rgb_p))
+            if os.path.exists(depth_p):
+                raw = np.asarray(Image.open(depth_p))
+                obs.front_depth = raw.astype(np.float32) / self._depth_scale
