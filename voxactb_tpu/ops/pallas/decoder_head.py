@@ -56,37 +56,34 @@ def _conv27(ring_ref, slots, zbuf, w_ref, n, c, cout, interpret):
     """acc[y,x,co] = sum_{dz,dy,dx} ring[slots[dz]][y+dy, x+dx, :] @ w[tap].
 
     Mosaic-friendly schedule: the three z rows are channel-stacked once into
-    ``zbuf`` [N+2, N+2, 3C] (aligned lane-offset copies), the x taps become three
-    sublane rotations of the stacked row, and the y taps are free outer-dim
-    offsets — 9 aligned [N,N,3C]x[3C,cout] contractions total instead of 27
-    relayout-heavy shifted-window matmuls (which compile ~10x slower on Mosaic).
+    ``zbuf`` [N+2, N+2, 3C] (aligned lane-offset copies), the x taps fold into
+    the OUTPUT columns ([3C, 3*cout], groups ordered (dx, co)), and the y taps
+    are free outer-dim offsets — 3 full-width [N,N,3C]x[3C,3*cout] contractions
+    total (vs 9 half-width before; vs 27 relayout-heavy shifted-window matmuls
+    which compile ~10x slower on Mosaic). The dx combine rotates only the
+    narrow f32 group slices: out[x] = part[x+dx]; wrapped sublanes land at
+    >= n+2-dx > n-1, outside the final [0:n] window.
 
-    ``w_ref``: [3(dx), 3(dy), 3C, cout] with the z taps folded into the K dim.
+    ``w_ref``: [3(dy), 3C, 3(dx)*cout] with the z taps folded into the K dim.
     """
     for dz in range(3):
         zbuf[:, :, dz * c:(dz + 1) * c] = ring_ref[slots[dz]]
     roll = jnp.roll if interpret else pltpu.roll
-
-    # y taps are free (dynamic) outer-dim offsets; the x tap is applied AFTER the
-    # contraction by rotating the f32 partial sums left by dx (Mosaic only rotates
-    # 32-bit data): out[x] = part[x+dx]; wrapped sublanes land at >= n+2-dx > n-1,
-    # outside the final [0:n] window. Both tap loops are fori_loops so the kernel
-    # body contains ONE dot and ONE rotate — static unrolls of all 27 taps take
-    # >30 min to compile through Mosaic; this form compiles in minutes.
     np8 = zbuf.shape[1]  # sublane width padded to 8 (rotates require alignment)
-    acc = None
-    for dx in range(3):  # static unroll: static-shift rotates lower much cheaper
-        def dy_body(dy, part, dx=dx):
-            return part + jax.lax.dot_general(
-                zbuf[pl.ds(dy, n), :, :], w_ref[dx, dy],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        part = jax.lax.fori_loop(
-            0, 3, dy_body, jnp.zeros((n, np8, cout), jnp.float32))
-        if dx:
-            part = roll(part, np8 - dx, axis=1)
-        acc = part if acc is None else acc + part
+
+    def dy_body(dy, part):
+        return part + jax.lax.dot_general(
+            zbuf[pl.ds(dy, n), :, :], w_ref[dy],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    part = jax.lax.fori_loop(
+        0, 3, dy_body, jnp.zeros((n, np8, 3 * cout), jnp.float32))
+    acc = part[:, :, 0:cout]
+    for dx in (1, 2):  # static-shift rotates of the cout-aligned group slices
+        acc = acc + roll(part[:, :, dx * cout:(dx + 1) * cout],
+                         np8 - dx, axis=1)
     return acc[:, 0:n, :]
 
 
@@ -203,9 +200,9 @@ def decoder_head(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
     dt = d0.dtype
     cdim = 128 if c <= 128 else c  # lane-pad the stats/pos rows
 
-    # repack for _conv27's (dx, dy, z-stacked-K) schedule:
-    #   wfK[dx, dy, dz*2C + ci, co] = wf[dz, dy, dx, ci, co]
-    wf_packed = jnp.transpose(wf, (2, 1, 0, 3, 4)).reshape(3, 3, 3 * 2 * c, c)
+    # repack for _conv27's (dy, z-stacked-K, dx-grouped-out) schedule:
+    #   wfK[dy, dz*2C + ci, dx*C + co] = wf[dz, dy, dx, ci, co]
+    wf_packed = jnp.transpose(wf, (1, 0, 3, 2, 4)).reshape(3, 3 * 2 * c, 3 * c)
     #   wtK[dz*C + ci, (dy*3 + dx)*T + t] = wt[t, dz, dy, dx, ci, 0]
     #   (one wide projection; the (dy, dx) taps become output lane groups)
     wt_packed = jnp.transpose(wt[..., 0], (1, 4, 2, 3, 0)).reshape(
