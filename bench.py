@@ -84,13 +84,17 @@ def build_chain(cfg, batch, params=None):
     return chained, rgbs, pcds
 
 
-def time_chain(chained, rgbs, pcds, batch):
+def time_chain(chained, rgbs, pcds, batch, reps: int = 3):
+    """Median of ``reps`` timed fetches — the relay shows up to ~40% run-to-run
+    variance on identical programs, so a single sample is not trustworthy."""
     actions = np.asarray(chained(rgbs, pcds))  # compile + warm
-    t0 = time.perf_counter()
-    actions = np.asarray(chained(rgbs, pcds))
-    wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        actions = np.asarray(chained(rgbs, pcds))
+        walls.append(time.perf_counter() - t0)
     assert actions.shape == (N_CHAIN, batch, 9) and np.isfinite(actions).all()
-    return N_CHAIN * batch / wall
+    return N_CHAIN * batch / sorted(walls)[len(walls) // 2]
 
 
 def time_train_chain(batch: int, n_steps: int = 8):
@@ -151,12 +155,14 @@ def time_train_chain(batch: int, n_steps: int = 8):
 
     state, loss = chained(state, device_batch, jax.random.key(1))  # compile+warm
     assert np.isfinite(float(np.asarray(loss)))
-    t0 = time.perf_counter()
-    _, loss = chained(state, device_batch, jax.random.key(2))
-    loss = float(np.asarray(loss))  # fetch INSIDE the timed region (axon relay
-    wall = time.perf_counter() - t0  # returns from dispatch before execution)
-    assert np.isfinite(loss)
-    return n_steps * batch / wall
+    walls = []
+    for rep in range(3):  # median of 3: the relay jitters up to ~40% run-to-run
+        t0 = time.perf_counter()
+        _, loss = chained(state, device_batch, jax.random.key(2 + rep))
+        loss = float(np.asarray(loss))  # fetch INSIDE the timed region (axon
+        walls.append(time.perf_counter() - t0)  # relay returns early)
+        assert np.isfinite(loss)
+    return n_steps * batch / sorted(walls)[1]
 
 
 def main():
