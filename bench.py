@@ -209,7 +209,9 @@ def main():
     crop50_sps = None
     if os.environ.get("BENCH_SKIP_CROP50") != "1":
         cfg50 = MethodConfig(voxel_sizes=[50], which_arm="right",
-                             compute_dtype="bfloat16", zshift_conv3d=True)
+                             compute_dtype="bfloat16", zshift_conv3d=True,
+                             pallas_decoder=PALLAS_DECODER,
+                             pallas_encoder=PALLAS_ENCODER)
         c50, r50, p50 = build_chain(cfg50, batch=1)
         crop50_sps = time_chain(c50, r50, p50, 1)
 

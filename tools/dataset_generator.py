@@ -89,9 +89,25 @@ def main():
     ap.add_argument("--episodes", type=int, default=10)
     ap.add_argument("--image-size", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--processes", type=int, default=1,
+                    help="fan tasks out over processes "
+                         "(dataset_generator_two_robots.py:36-37)")
     args = ap.parse_args()
-    n = generate(args.root, args.tasks, args.episodes, args.image_size,
-                 args.seed)
+    if args.processes > 1 and len(args.tasks) > 1:
+        # spawn, not fork: the parent may already hold an initialized JAX
+        # backend (threads), and fork-after-threads deadlocks
+        import multiprocessing
+
+        mp = multiprocessing.get_context("spawn")
+        with mp.Pool(min(args.processes, len(args.tasks))) as pool:
+            counts = pool.starmap(
+                generate,
+                [(args.root, [t], args.episodes, args.image_size, args.seed)
+                 for t in args.tasks])
+        n = sum(counts)
+    else:
+        n = generate(args.root, args.tasks, args.episodes, args.image_size,
+                     args.seed)
     print(f"wrote {n} episodes under {args.root}")
 
 
