@@ -182,8 +182,12 @@ def main():
                            compute_dtype="bfloat16", zshift_conv3d=True,
                            pallas_decoder=PALLAS_DECODER,
                            pallas_encoder=PALLAS_ENCODER)
+    # throughput mode: pallas kernels win at batch 8 too (27.3 vs 25.3 acts/s
+    # paired A/B on-chip)
     cfg_thr = MethodConfig(voxel_sizes=[100], which_arm="right",
-                           compute_dtype="bfloat16", zshift_conv3d=False)
+                           compute_dtype="bfloat16", zshift_conv3d=True,
+                           pallas_decoder=PALLAS_DECODER,
+                           pallas_encoder=PALLAS_ENCODER)
 
     lat_chain, r1, p1 = build_chain(cfg_lat, batch=1)
     single_sps = time_chain(lat_chain, r1, p1, 1)
