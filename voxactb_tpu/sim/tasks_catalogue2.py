@@ -584,10 +584,10 @@ class RemoveCups(_PickLiftTask):
         return holder + np.array([0.0, -0.08, 0.04])
 
 
-class Blockramid(_CatalogueTask):
-    """Stack three blocks into a pyramid (blockramid.py)."""
+class BlockPyramid(_CatalogueTask):
+    """Stack three blocks into a pyramid (block_pyramid.py)."""
 
-    name = "blockramid"
+    name = "block_pyramid"
     num_variations = 1
 
     def init_episode(self, variation, rng):
@@ -632,6 +632,67 @@ class Blockramid(_CatalogueTask):
         return wps
 
 
+class PlaceShapeInShapeSorter(_PickPlaceTask):
+    name = "place_shape_in_shape_sorter"
+    item_size = (0.04, 0.04, 0.04)
+    region_half = (0.05, 0.05, 0.07)
+    num_variations = 3
+
+    def build_scene(self, variation, rng):
+        shape = ("cube", "cylinder", "triangular prism")[variation % 3]
+        self.item_color = list(COLORS.values())[variation % 3]
+        self.languages = (f"put the {shape} in the shape sorter",)
+        sorter = np.array([rng.uniform(0.3, 0.42), rng.uniform(0.05, 0.25),
+                           TABLE_Z + 0.06])
+        self.backend.add_object(SceneObject(
+            "sorter", sorter, size=np.array([0.18, 0.18, 0.12]),
+            color=(0.85, 0.75, 0.3), static=True))
+        item = sample_disjoint_position(
+            self.backend, rng, [0.15, -0.3, TABLE_Z + 0.02],
+            [0.4, -0.05, TABLE_Z + 0.02], np.asarray(self.item_size))
+        return item, sorter + np.array([0.0, 0.0, 0.1])
+
+
+class PlaceWineAtRackLocation(_PickPlaceTask):
+    name = "place_wine_at_rack_location"
+    item_size = (0.06, 0.06, 0.24)
+    region_half = (0.07, 0.07, 0.14)
+    drop_height = 0.25
+    num_variations = 3
+
+    def build_scene(self, variation, rng):
+        loc = ("left", "middle", "right")[variation % 3]
+        self.item_color = (0.3, 0.05, 0.1)
+        self.languages = (f"stack the wine bottle to the {loc} of the rack",)
+        rack = np.array([rng.uniform(0.32, 0.45), rng.uniform(0.05, 0.2),
+                         TABLE_Z + 0.08])
+        self.backend.add_object(SceneObject(
+            "rack", rack, size=np.array([0.16, 0.36, 0.16]),
+            color=(0.45, 0.3, 0.15), static=True))
+        dy = {0: 0.12, 1: 0.0, 2: -0.12}[variation % 3]
+        item = sample_disjoint_position(
+            self.backend, rng, [0.18, -0.3, TABLE_Z + 0.12],
+            [0.42, -0.1, TABLE_Z + 0.12], np.asarray(self.item_size))
+        return item, rack + np.array([0.0, dy, 0.04])
+
+
+class TakeTrayOutOfOven(_PickLiftTask):
+    """Single-arm variant (the coordinated bimanual one is in tasks_extra)."""
+
+    name = "take_tray_out_of_oven"
+    item_size = (0.16, 0.22, 0.015)
+    item_color = (0.7, 0.7, 0.75)
+    lift = 0.12
+    languages = ("take the tray out of the oven",)
+
+    def build_scene(self, variation, rng):
+        oven = np.array([0.45, rng.uniform(-0.1, 0.1), TABLE_Z + 0.15])
+        self.backend.add_object(SceneObject(
+            "oven", oven, size=np.array([0.3, 0.4, 0.3]),
+            color=(0.2, 0.2, 0.2), static=True))
+        return oven + np.array([-0.2, 0.0, -0.05])
+
+
 CATALOGUE2_TASKS = (
     ChangeClock, SetClockToTime, WeighingScales, TakeOffWeighingScales,
     ScrewNail, WaterPlants, HitBallWithQueue, PutRubbishInColorBin,
@@ -640,5 +701,54 @@ CATALOGUE2_TASKS = (
     PutBooksAtShelfLocation, EmptyContainer, EmptyDishwasher,
     PutAllGroceriesInCupboard, SetTheTable, SetupCheckers, SetupChess,
     SolvePuzzle, PlayJenga, SlideCabinetOpenAndPlaceCups, RemoveCups,
-    Blockramid,
+    BlockPyramid, PlaceShapeInShapeSorter, PlaceWineAtRackLocation,
+    TakeTrayOutOfOven,
 )
+
+
+class SweepToDustpanOfSize(_CatalogueTask):
+    """Sweep the dirt into the dustpan of the commanded size — two pans in the
+    scene, only the right one counts (rlbench/tasks/sweep_to_dustpan_of_size.py)."""
+
+    name = "sweep_to_dustpan_of_size"
+    num_variations = 2
+
+    def init_episode(self, variation, rng):
+        self.backend.remove_all_objects()
+        size_name = "short" if variation % 2 == 0 else "tall"
+        pans = {}
+        for nm, sz, y in (("dustpan_short", 0.1, 0.28),
+                          ("dustpan_tall", 0.16, -0.28)):
+            pos = np.array([rng.uniform(0.25, 0.4), y, TABLE_Z + 0.02])
+            self.backend.add_object(SceneObject(
+                nm, pos, size=np.array([sz, sz, 0.03]),
+                color=(0.3, 0.3, 0.35), static=True))
+            pans[nm] = pos
+        dirt = sample_disjoint_position(
+            self.backend, rng, [0.2, -0.12, TABLE_Z + 0.013],
+            [0.45, 0.12, TABLE_Z + 0.013], np.full(3, 0.025))
+        self.backend.add_object(SceneObject(
+            "dirt", dirt, size=np.full(3, 0.025), color=(0.45, 0.3, 0.15)))
+        self._target = pans[f"dustpan_{size_name}"] + np.array([0, 0, 0.03])
+        self.register_success_conditions([
+            DetectedCondition("dirt", self._target,
+                              np.array([0.08, 0.08, 0.06])),
+        ])
+        return [f"sweep the dirt into the {size_name} dustpan"]
+
+    def target_object_name(self):
+        return "dirt"
+
+    def get_waypoints(self, dominant_arm):
+        dirt = self.backend.get_object("dirt").position
+        return [
+            Waypoint("right", dirt + [0, 0, 0.08], DOWN, 1.0,
+                     label="approach_dirt"),
+            Waypoint("right", dirt, DOWN, 0.0, label="catch_dirt"),
+            Waypoint("right", self._target, DOWN, None, label="sweep"),
+            Waypoint("right", self._target, DOWN, 1.0, dwell=5,
+                     label="deposit"),
+        ]
+
+
+CATALOGUE2_TASKS = CATALOGUE2_TASKS + (SweepToDustpanOfSize,)
