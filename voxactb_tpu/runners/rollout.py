@@ -43,6 +43,24 @@ class ReplayTransition:
     final_observation: Optional[Dict[str, Any]] = None
 
 
+
+def _safe_step(env, action, which_arm):
+    """Step tolerating invalid actions: an out-of-workspace / unplannable action
+    ends the episode with zero reward instead of crashing the runner — the
+    reference wrapper's catch of (IKError, ConfigurationPathError,
+    InvalidActionError) (custom_rlbench_env_two_robots.py:179-193)."""
+    from voxactb_tpu.envs.base import Transition
+    from voxactb_tpu.sim.environment import InvalidActionError
+
+    try:
+        return env.step(action, which_arm)
+    except InvalidActionError as e:
+        # episode over; the observation is unused past a terminal transition
+        return Transition({}, reward=0.0, terminal=True,
+                          info={"error": "InvalidActionError",
+                                "detail": str(e)})
+
+
 class RolloutGenerator:
     def __init__(self, scene_bounds=None):
         self._scene_bounds = scene_bounds
@@ -109,7 +127,7 @@ class RolloutGenerator:
     def _step_once(self, env, agent_, step, obs, which_arm, act_kwargs,
                    episode_length):
         act_result: ActResult = agent_.act(step, dict(obs), **act_kwargs)
-        transition = env.step(act_result.action, which_arm)
+        transition = _safe_step(env, act_result.action, which_arm)
         timeout = False
         if step == episode_length - 1 and not transition.terminal:
             timeout = True
@@ -240,7 +258,7 @@ class RolloutGenerator:
         for step, (action, arm) in enumerate(planner.plan(env, obs)):
             if step >= episode_length:
                 return
-            transition = env.step(action, arm)
+            transition = _safe_step(env, action, arm)
             yield ReplayTransition(dict(obs), action, transition.reward,
                                    transition.terminal,
                                    timeout=step == episode_length - 1,

@@ -3,7 +3,8 @@
 Built from the family bases of tasks_catalogue.py (press / pick-lift /
 pick-place / slide / hinge) plus a couple of bespoke multi-object scenes
 (set_the_table, setup_checkers, play_jenga). With this module the registry
-covers ~110 named tasks mirroring the reference's rlbench/tasks/ directory.
+covers every task name in the reference's rlbench/tasks/ directory
+(110 files) plus this framework's bimanual extras — 120 registered total.
 """
 
 from __future__ import annotations
