@@ -71,4 +71,10 @@ def determine_dominant_hand(
         # the receiving (far) arm is dominant (rlbench_env.py:600-613)
         return dominant_arm_by_distance(object_centroid, right_arm_base,
                                         left_arm_base, closer_arm_dominant=False)
+    if object_centroid is not None and right_arm_base is not None \
+            and left_arm_base is not None:
+        # tasks beyond the benchmarked four: closer-arm default (the OpenJar
+        # rule generalizes — reach the object with the nearer arm)
+        return dominant_arm_by_distance(object_centroid, right_arm_base,
+                                        left_arm_base, closer_arm_dominant=True)
     raise NotImplementedError(f"no dominant-arm rule for task {task_name!r}")
