@@ -23,7 +23,8 @@ import time
 
 import numpy as np
 
-N_CHAIN = 16
+N_CHAIN = 32   # the relay round-trip (~50-100ms) amortizes over the chain;
+# 16 steps left ~3-6ms/step of fetch overhead in the number
 BATCH = 8
 # fused pallas encoder/decoder kernels (ops/pallas/): isolated decoder tail
 # 14.5ms vs 20.6ms XLA; paired A/Bs win at every operating point (latency,
