@@ -52,9 +52,17 @@ def build_replay_and_agent(cfg, lang_encoder=None, demos=None):
     )
     if cfg.replay.use_disk:
         # disk-mode replay: native mmap store (the reference's one-pickle-per-
-        # transition disk mode, uniform sampling) + C++ async batch feed
+        # transition disk mode, uniform sampling) + C++ async batch feed.
+        # NOTE: the native sampler is plain-uniform over transitions, not
+        # task-uniform like TaskUniformReplayBuffer — with several tasks the
+        # batch composition follows per-task transition counts.
         from voxactb_tpu.replay.native_buffer import NativeReplayBuffer
 
+        if len(cfg.rlbench.tasks) > 1:
+            logging.warning(
+                "replay.use_disk samples uniformly over transitions, not "
+                "task-uniformly: %d tasks will mix by transition count",
+                len(cfg.rlbench.tasks))
         os.makedirs(cfg.replay.path, exist_ok=True)
         replay = NativeReplayBuffer(
             capacity=int(1e5), signature=sig,
@@ -193,6 +201,7 @@ def _train_one(cfg, demos=None, lang_encoder=None):
     from voxactb_tpu.replay.native_buffer import AsyncBatchSampler, \
         NativeReplayBuffer
 
+    native_feed = None
     if isinstance(replay, NativeReplayBuffer):
         native_feed = AsyncBatchSampler(
             replay, cfg.replay.batch_size, seed=cfg.seed)
@@ -223,7 +232,14 @@ def _train_one(cfg, demos=None, lang_encoder=None):
     try:
         runner.start()
     finally:
+        # stop the C++ producer threads BEFORE closing the mmap store they
+        # sample from, then the host prefetch thread, then the store itself
+        if native_feed is not None:
+            native_feed.close()
         dataset.close()
+        if isinstance(replay, NativeReplayBuffer):
+            replay.flush()
+            replay.close()
     return seed_dir
 
 

@@ -196,6 +196,10 @@ void rs_flush(void* handle) {
 // Producer threads sample uniform transition indices, gather rows into a ring of
 // pre-allocated batch buffers, and publish them; the consumer (Python) acquires a
 // ready buffer (zero-copy numpy view), then releases it back to the free list.
+// Known benign race: once add_count wraps capacity, a producer's memcpy of a row
+// being concurrently overwritten by rs_add can read a torn row (mixed old/new
+// bytes). Training tolerates a rare stale/torn sample; version rows if that ever
+// changes.
 // ---------------------------------------------------------------------------------
 
 #include <chrono>
@@ -215,6 +219,9 @@ struct Sampler {
   std::deque<int> ready_bufs;
   std::mutex mu;
   std::condition_variable cv_free, cv_ready;
+  // consumers blocked in bs_acquire; bs_stop drains them before delete
+  int active_consumers = 0;
+  std::condition_variable cv_drained;
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
   uint64_t seed = 0;
@@ -279,10 +286,15 @@ void* bs_start(void* store_handle, uint64_t batch, int ring_size,
 int bs_acquire(void* handle) {
   auto* sm = (Sampler*)handle;
   std::unique_lock<std::mutex> lk(sm->mu);
+  sm->active_consumers++;
   sm->cv_ready.wait(lk, [&] { return sm->stop.load() || !sm->ready_bufs.empty(); });
-  if (sm->ready_bufs.empty()) return -1;
-  int buf = sm->ready_bufs.front();
-  sm->ready_bufs.pop_front();
+  int buf = -1;
+  if (!sm->ready_bufs.empty() && !sm->stop.load()) {
+    buf = sm->ready_bufs.front();
+    sm->ready_bufs.pop_front();
+  }
+  sm->active_consumers--;
+  if (sm->active_consumers == 0) sm->cv_drained.notify_all();
   return buf;
 }
 
@@ -304,9 +316,15 @@ void bs_release(void* handle, int buf) {
 
 void bs_stop(void* handle) {
   auto* sm = (Sampler*)handle;
-  sm->stop.store(true);
-  sm->cv_free.notify_all();
-  sm->cv_ready.notify_all();
+  {
+    // fence: a consumer blocked in bs_acquire re-locks mu on wakeup, so the
+    // Sampler must stay alive until every acquirer has left the wait
+    std::unique_lock<std::mutex> lk(sm->mu);
+    sm->stop.store(true);
+    sm->cv_free.notify_all();
+    sm->cv_ready.notify_all();
+    sm->cv_drained.wait(lk, [&] { return sm->active_consumers == 0; });
+  }
   for (auto& t : sm->workers) t.join();
   delete sm;
 }

@@ -136,6 +136,7 @@ class NativeReplayBuffer:
     def close(self) -> None:
         if self._handle:
             self._lib.rs_close(self._handle)
+            self._handle = None
 
 
 class AsyncBatchSampler:
@@ -179,5 +180,4 @@ class AsyncBatchSampler:
     def close(self) -> None:
         if self._handle:
             self._lib.bs_stop(self._handle)
-            self._handle = None
             self._handle = None
