@@ -103,10 +103,14 @@ class ClipResNetImageEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_pyramid: bool = False):
-        # 3-conv stem (clip.py ModifiedResNet.stem)
+        # 3-conv stem (clip.py ModifiedResNet.stem). Padding is explicit (1, 1):
+        # torch's pad=1 is symmetric even at stride 2, where XLA's "SAME" pads
+        # asymmetrically (0 left, 1 right) — a one-pixel window shift that breaks
+        # weight-level parity with the reference tower.
         for i, (ch, stride) in enumerate(
                 [(self.width // 2, 2), (self.width // 2, 1), (self.width, 1)]):
-            x = nn.Conv(ch, (3, 3), strides=(stride,) * 2, padding="SAME",
+            x = nn.Conv(ch, (3, 3), strides=(stride,) * 2,
+                        padding=((1, 1), (1, 1)),
                         use_bias=False, dtype=self.dtype, name=f"stem_conv{i+1}")(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                              name=f"stem_bn{i+1}")(x)
@@ -131,6 +135,65 @@ class ClipResNetImageEncoder(nn.Module):
         if return_pyramid:
             return emb, pyramid
         return emb
+
+
+def load_torch_clip_image_weights(state_dict, prefix: str = "visual.") -> dict:
+    """Map the reference CLIP ``ModifiedResNet`` state_dict onto this module.
+
+    Accepts the full CLIP state_dict (keys ``visual.*``, clip.py:311-365) or a bare
+    ``ModifiedResNet`` one (``prefix=""``); values may be torch tensors or numpy.
+    Returns ``{"params": ..., "batch_stats": ...}`` — BatchNorm running stats land in
+    the ``batch_stats`` collection so eval-mode forwards reproduce the torch tower.
+    """
+
+    def a(key):
+        v = state_dict[prefix + key]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                          np.float32)
+
+    def conv(key):  # torch [out, in, kh, kw] -> flax [kh, kw, in, out]
+        return {"kernel": a(key + ".weight").transpose(2, 3, 1, 0)}
+
+    def bn(key):
+        return ({"scale": a(key + ".weight"), "bias": a(key + ".bias")},
+                {"mean": a(key + ".running_mean"), "var": a(key + ".running_var")})
+
+    params, stats = {}, {}
+    for i in (1, 2, 3):
+        params[f"stem_conv{i}"] = conv(f"conv{i}")
+        params[f"stem_bn{i}"], stats[f"stem_bn{i}"] = bn(f"bn{i}")
+
+    layer_blocks = {}
+    for k in state_dict:
+        kk = k[len(prefix):] if k.startswith(prefix) else None
+        if kk and kk.startswith("layer"):
+            stage = int(kk[5])
+            blk = int(kk.split(".")[1])
+            layer_blocks[stage] = max(layer_blocks.get(stage, 0), blk + 1)
+    for stage, blocks in sorted(layer_blocks.items()):
+        for b in range(blocks):
+            p = f"layer{stage}.{b}"
+            leaf, bstats = {}, {}
+            for c in ("conv1", "conv2", "conv3"):
+                leaf[c] = conv(f"{p}.{c}")
+            for c in ("bn1", "bn2", "bn3"):
+                leaf[c], bstats[c] = bn(f"{p}.{c}")
+            if prefix + f"{p}.downsample.0.weight" in state_dict:
+                leaf["downsample_conv"] = conv(f"{p}.downsample.0")
+                leaf["downsample_bn"], bstats["downsample_bn"] = bn(
+                    f"{p}.downsample.1")
+            params[f"layer{stage}_{b}"] = leaf
+            stats[f"layer{stage}_{b}"] = bstats
+
+    params["attnpool"] = {
+        "positional_embedding": a("attnpool.positional_embedding"),
+    }
+    for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        params["attnpool"][proj] = {
+            "kernel": a(f"attnpool.{proj}.weight").T,
+            "bias": a(f"attnpool.{proj}.bias"),
+        }
+    return {"params": params, "batch_stats": stats}
 
 
 CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)

@@ -94,28 +94,35 @@ class OwlViTDetector(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.vision = self.image_encoder or OwlViTImageEncoder(dtype=self.dtype)
+        self.vision = self.image_encoder or OwlViTImageEncoder(
+            dtype=self.dtype, name="image_encoder")
         self.merged_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.class_proj = nn.Dense(self.embed_dim, use_bias=False,
-                                   dtype=self.dtype)
+        self.class_proj = nn.Dense(self.embed_dim, dtype=self.dtype)
         self.logit_shift = nn.Dense(1, dtype=self.dtype)
         self.logit_scale_head = nn.Dense(1, dtype=self.dtype)
-        self.box_head = nn.Sequential([
-            nn.Dense(self.vision.dim, dtype=self.dtype), jax.nn.gelu,
-            nn.Dense(self.vision.dim, dtype=self.dtype), jax.nn.gelu,
-            nn.Dense(4, dtype=self.dtype),
-        ])
+        # exact (erf) gelu between the box-head layers: transformers' nn.GELU()
+        self.box_dense0 = nn.Dense(self.vision.dim, dtype=self.dtype)
+        self.box_dense1 = nn.Dense(self.vision.dim, dtype=self.dtype)
+        self.box_dense2 = nn.Dense(4, dtype=self.dtype)
+
+    def box_head(self, x):
+        x = jax.nn.gelu(self.box_dense0(x), approximate=False)
+        x = jax.nn.gelu(self.box_dense1(x), approximate=False)
+        return self.box_dense2(x)
 
     def _box_bias(self, g: int):
-        # each token is biased toward its own grid cell (OWL's compute_box_bias)
-        xs = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
+        # each token is biased toward its own grid cell; the corner-coordinate +
+        # epsilon'd logit formula follows transformers' compute_box_bias
+        # (modeling_owlvit.py normalize_grid_corner_coordinates): coords are the
+        # CELL CORNERS arange(1..g)/g, and the bias is log(c+1e-4)-log1p(-c+1e-4).
+        xs = jnp.arange(1, g + 1, dtype=jnp.float32) / g
         cx, cy = jnp.meshgrid(xs, xs, indexing="xy")
-        centers = jnp.stack([cx.reshape(-1), cy.reshape(-1)], -1)
-        centers = jnp.clip(centers, 1e-4, 1 - 1e-4)
-        size = jnp.full_like(centers, 1.0 / g)
-        bias = jnp.concatenate([jnp.log(centers / (1 - centers)),
-                                jnp.log(size / (1 - size))], -1)
-        return bias  # [g*g, 4] in logit space
+        coords = jnp.stack([cx.reshape(-1), cy.reshape(-1)], -1)
+        coords = jnp.clip(coords, 0.0, 1.0)
+        coord_bias = jnp.log(coords + 1e-4) - jnp.log1p(-coords + 1e-4)
+        size = jnp.full_like(coords, 1.0 / g)
+        size_bias = jnp.log(size + 1e-4) - jnp.log1p(-size + 1e-4)
+        return jnp.concatenate([coord_bias, size_bias], -1)  # [g*g, 4]
 
     def __call__(self, image, text_embeds):
         """image [B,H,W,3]; text_embeds [Q, embed_dim] (from the CLIP text tower).
@@ -141,6 +148,89 @@ class OwlViTDetector(nn.Module):
         box_logits = self.box_head(feats_ln) + self._box_bias(g)[None]
         boxes = jax.nn.sigmoid(box_logits)
         return logits.astype(jnp.float32), boxes.astype(jnp.float32)
+
+
+def load_hf_owlvit_weights(state_dict):
+    """Map a transformers ``OwlViTForObjectDetection`` state_dict onto this stack.
+
+    Returns ``(detector_params, text_params)``: the first loads
+    :class:`OwlViTDetector` (vision tower + class/box heads), the second loads
+    :class:`~voxactb_tpu.models.clip_text.ClipTextEncoder` configured with the
+    checkpoint's text dims (the OWL text tower is CLIP's, context length 16).
+    """
+    import numpy as np
+
+    def a(key):
+        v = state_dict[key]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                          np.float32)
+
+    def dense(key):
+        return {"kernel": a(key + ".weight").T, "bias": a(key + ".bias")}
+
+    def ln(key):
+        return {"scale": a(key + ".weight"), "bias": a(key + ".bias")}
+
+    def vit_blocks(prefix, names):
+        """Shared CLIP-style encoder-layer mapping (vision 'block_i'/text 'resblock_i')."""
+        out = {}
+        lp = prefix + "encoder.layers."
+        depth = max(int(k[len(lp):].split(".")[0]) for k in state_dict
+                    if k.startswith(lp)) + 1
+        for i in range(depth):
+            p = f"{prefix}encoder.layers.{i}."
+            qkv_w = np.concatenate(
+                [a(p + f"self_attn.{h}_proj.weight").T for h in ("q", "k", "v")],
+                axis=1)
+            qkv_b = np.concatenate(
+                [a(p + f"self_attn.{h}_proj.bias") for h in ("q", "k", "v")])
+            out[names["block"].format(i)] = {
+                names["ln1"]: ln(p + "layer_norm1"),
+                names["ln2"]: ln(p + "layer_norm2"),
+                names["qkv"]: {"kernel": qkv_w, "bias": qkv_b},
+                names["proj"]: dense(p + "self_attn.out_proj"),
+                names["fc1"]: dense(p + "mlp.fc1"),
+                names["fc2"]: dense(p + "mlp.fc2"),
+            }
+        return out
+
+    v = "owlvit.vision_model."
+    vision = {
+        "patch_embed": {
+            "kernel": a(v + "embeddings.patch_embedding.weight").transpose(
+                2, 3, 1, 0)},
+        "cls_token": a(v + "embeddings.class_embedding").reshape(1, 1, -1),
+        "pos_embed": a(v + "embeddings.position_embedding.weight")[None],
+        "pre_ln": ln(v + "pre_layernorm"),
+        "post_ln": ln(v + "post_layernorm"),
+    }
+    vision.update(vit_blocks(v, {"block": "block_{}", "ln1": "ln1", "ln2": "ln2",
+                                 "qkv": "qkv", "proj": "proj",
+                                 "fc1": "fc1", "fc2": "fc2"}))
+
+    det_params = {"params": {
+        "image_encoder": vision,
+        "merged_ln": ln("layer_norm"),
+        "class_proj": dense("class_head.dense0"),
+        "logit_shift": dense("class_head.logit_shift"),
+        "logit_scale_head": dense("class_head.logit_scale"),
+        "box_dense0": dense("box_head.dense0"),
+        "box_dense1": dense("box_head.dense1"),
+        "box_dense2": dense("box_head.dense2"),
+    }}
+
+    t = "owlvit.text_model."
+    text = {
+        "token_embedding": a(t + "embeddings.token_embedding.weight"),
+        "positional_embedding": a(t + "embeddings.position_embedding.weight"),
+        "ln_final": ln(t + "final_layer_norm"),
+        "text_projection": a("owlvit.text_projection.weight").T,
+    }
+    text.update(vit_blocks(t, {"block": "resblock_{}", "ln1": "ln_1",
+                               "ln2": "ln_2", "qkv": "attn_in",
+                               "proj": "attn_out", "fc1": "mlp_fc",
+                               "fc2": "mlp_proj"}))
+    return det_params, {"params": text}
 
 
 class OwlViTPipeline:

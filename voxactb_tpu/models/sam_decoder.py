@@ -2,9 +2,16 @@
 
 Completes the segment-anything path the VLM uses (vlm.py:117-143 feeds OWL-ViT boxes
 into SAM): standard public SAM architecture — random-Fourier positional encoding for
-prompts, learned corner embeddings for boxes, a depth-2 two-way transformer between
-prompt tokens and image embedding, 4x upscaling, per-mask hypernetwork MLPs, and an
-IoU prediction head. Box prompts only (the only prompt type the pipeline needs).
+prompts, learned corner embeddings for boxes, the no-mask dense embedding added to the
+image embedding, a depth-2 two-way transformer between prompt tokens and image
+embedding, 4x upscaling, per-mask hypernetwork MLPs, and an IoU prediction head. Box
+prompts only (the only prompt type the pipeline needs).
+
+Exactness notes (verified against transformers' SamModel in
+tests/test_hf_tower_parity.py): the FIRST two-way block's self-attention REPLACES the
+queries (no residual — modeling_sam.py SamTwoWayAttentionBlock.forward), block
+LayerNorms use eps 1e-6 while the final-attention LayerNorm keeps torch's default
+1e-5, the upscaling LayerNorm uses eps 1e-6, and all GELUs are the exact erf form.
 """
 
 from __future__ import annotations
@@ -36,6 +43,8 @@ class RandomFourierPE(nn.Module):
 
 
 class MLP(nn.Module):
+    """SamFeedForward: relu MLP (proj_in, layers-2 hidden, proj_out)."""
+
     hidden: int
     out: int
     layers: int = 3
@@ -84,22 +93,28 @@ class TwoWayBlock(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, image, token_pe, image_pe):
-        # token self-attention
-        q = tokens if self.skip_first_pe else tokens + token_pe
-        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
-            tokens + _Attn(self.dim, self.heads, dtype=self.dtype,
-                           name="self_attn")(q, q, tokens))
+        # token self-attention. In the first block (skip_first_pe) the attention
+        # output REPLACES the tokens — no residual (SamTwoWayAttentionBlock).
+        if self.skip_first_pe:
+            attn_out = _Attn(self.dim, self.heads, dtype=self.dtype,
+                             name="self_attn")(tokens, tokens, tokens)
+            tokens = attn_out
+        else:
+            q = tokens + token_pe
+            tokens = tokens + _Attn(self.dim, self.heads, dtype=self.dtype,
+                                    name="self_attn")(q, q, tokens)
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(tokens)
         # token -> image cross attention
-        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(
             tokens + _Attn(self.dim, self.heads, 2, dtype=self.dtype,
                            name="cross_t2i")(tokens + token_pe,
                                              image + image_pe, image))
-        # mlp
+        # mlp (relu, SamMLPBlock with the mask-decoder config's hidden_act)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(tokens)
-        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(
             tokens + nn.Dense(self.dim, dtype=self.dtype)(jax.nn.relu(y)))
         # image -> token cross attention
-        image = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
+        image = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(
             image + _Attn(self.dim, self.heads, 2, dtype=self.dtype,
                           name="cross_i2t")(image + image_pe,
                                             tokens + token_pe, tokens))
@@ -113,6 +128,7 @@ class SamMaskDecoder(nn.Module):
     heads: int = 8
     depth: int = 2
     num_masks: int = 4  # 1 "whole" + 3 multimask outputs
+    mlp_dim: int = 2048
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -138,7 +154,12 @@ class SamMaskDecoder(nn.Module):
             prompt,
         ], axis=1)
 
-        image = image_embedding.reshape(b, g * g, c).astype(self.dtype)
+        # the no-mask dense prompt embedding is ADDED to the image embedding
+        # (SamPromptEncoder.forward's else-branch + SamMaskDecoder.forward)
+        no_mask = self.param("no_mask_embed", nn.initializers.normal(1.0),
+                             (1, self.dim))
+        image = (image_embedding.astype(self.dtype)
+                 + no_mask[None, None].astype(self.dtype)).reshape(b, g * g, c)
         image_pe = pe_layer.grid(g, g).reshape(1, g * g, self.dim)
         image_pe = jnp.broadcast_to(image_pe, (b, g * g, self.dim)).astype(
             self.dtype)
@@ -146,10 +167,12 @@ class SamMaskDecoder(nn.Module):
 
         x = tokens.astype(self.dtype)
         for i in range(self.depth):
-            x, image = TwoWayBlock(self.dim, self.heads, skip_first_pe=i == 0,
+            x, image = TwoWayBlock(self.dim, self.heads, self.mlp_dim,
+                                   skip_first_pe=i == 0,
                                    dtype=self.dtype, name=f"block_{i}")(
                 x, image, token_pe, image_pe)
-        # final token->image attention
+        # final token->image attention (LayerNorm keeps torch's default 1e-5 —
+        # SamTwoWayTransformer.layer_norm_final_attn is a bare nn.LayerNorm)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             x + _Attn(self.dim, self.heads, 2, dtype=self.dtype,
                       name="final_t2i")(x + token_pe, image + image_pe, image))
@@ -160,11 +183,12 @@ class SamMaskDecoder(nn.Module):
         # upscale image embedding 4x (two stride-2 transposed convs)
         img = image.reshape(b, g, g, c)
         img = nn.ConvTranspose(self.dim // 4, (2, 2), strides=(2, 2),
-                               dtype=self.dtype, name="up1")(img)
-        img = jax.nn.gelu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(img))
+                               padding="VALID", dtype=self.dtype, name="up1")(img)
+        img = jax.nn.gelu(
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(img), approximate=False)
         img = nn.ConvTranspose(self.dim // 8, (2, 2), strides=(2, 2),
-                               dtype=self.dtype, name="up2")(img)
-        img = jax.nn.gelu(img)  # [B, 4g, 4g, dim/8]
+                               padding="VALID", dtype=self.dtype, name="up2")(img)
+        img = jax.nn.gelu(img, approximate=False)  # [B, 4g, 4g, dim/8]
 
         hyper = jnp.stack([
             MLP(self.dim, self.dim // 8, name=f"hyper_{i}",
@@ -176,6 +200,86 @@ class SamMaskDecoder(nn.Module):
         iou_pred = MLP(self.dim, self.num_masks, name="iou_head",
                        dtype=self.dtype)(iou_out).astype(jnp.float32)
         return masks.astype(jnp.float32), iou_pred
+
+
+def load_hf_sam_decoder_weights(state_dict) -> dict:
+    """Map a transformers ``SamModel`` prompt-encoder + mask-decoder state_dict onto
+    :class:`SamMaskDecoder`.
+
+    The HF model has TWO SamPositionalEmbedding instances (``shared_image_embedding``
+    for the image grid and ``prompt_encoder.shared_embedding`` for prompts) that are
+    equal in converted checkpoints; this module follows the original segment-anything
+    design with ONE pe layer, loaded from the prompt encoder's copy.
+    """
+
+    def a(key):
+        v = state_dict[key]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                          np.float32)
+
+    def dense(key):
+        return {"kernel": a(key + ".weight").T, "bias": a(key + ".bias")}
+
+    def ln(key):
+        return {"scale": a(key + ".weight"), "bias": a(key + ".bias")}
+
+    def sam_attn(key):
+        return {"q": dense(key + ".q_proj"), "k": dense(key + ".k_proj"),
+                "v": dense(key + ".v_proj"), "out": dense(key + ".out_proj")}
+
+    def feed_forward(key, layers=3):
+        out = {"Dense_0": dense(key + ".proj_in")}
+        for i in range(layers - 2):
+            out[f"Dense_{i + 1}"] = dense(f"{key}.layers.{i}")
+        out[f"Dense_{layers - 1}"] = dense(key + ".proj_out")
+        return out
+
+    def conv_t(key):
+        # torch ConvTranspose2d [in, out, kh, kw] -> flax [kh, kw, in, out].
+        # flax's ConvTranspose (lax.conv_transpose, transpose_kernel=False) uses the
+        # kernel in forward-conv orientation, so torch's kernel must be spatially
+        # flipped (verified numerically in tests/test_hf_tower_parity.py).
+        w = a(key + ".weight").transpose(2, 3, 0, 1)[::-1, ::-1]
+        return {"kernel": np.ascontiguousarray(w), "bias": a(key + ".bias")}
+
+    md = "mask_decoder."
+    params = {
+        "pe": {"gaussian_matrix":
+               a("prompt_encoder.shared_embedding.positional_embedding")},
+        "corner_embed": np.concatenate(
+            [a("prompt_encoder.point_embed.2.weight"),
+             a("prompt_encoder.point_embed.3.weight")], axis=0),
+        "no_mask_embed": a("prompt_encoder.no_mask_embed.weight"),
+        "iou_token": a(md + "iou_token.weight"),
+        "mask_tokens": a(md + "mask_tokens.weight"),
+        "up1": conv_t(md + "upscale_conv1"),
+        "up2": conv_t(md + "upscale_conv2"),
+        "LayerNorm_1": ln(md + "upscale_layer_norm"),
+        "final_t2i": sam_attn(md + "transformer.final_attn_token_to_image"),
+        "LayerNorm_0": ln(md + "transformer.layer_norm_final_attn"),
+        "iou_head": feed_forward(md + "iou_prediction_head"),
+    }
+    lp = md + "transformer.layers."
+    depth = max(int(k[len(lp):].split(".")[0]) for k in state_dict
+                if k.startswith(lp)) + 1
+    for i in range(depth):
+        p = f"{md}transformer.layers.{i}."
+        params[f"block_{i}"] = {
+            "self_attn": sam_attn(p + "self_attn"),
+            "cross_t2i": sam_attn(p + "cross_attn_token_to_image"),
+            "cross_i2t": sam_attn(p + "cross_attn_image_to_token"),
+            "LayerNorm_0": ln(p + "layer_norm1"),
+            "LayerNorm_1": ln(p + "layer_norm2"),
+            "LayerNorm_2": ln(p + "layer_norm3"),
+            "LayerNorm_3": ln(p + "layer_norm4"),
+            "Dense_0": dense(p + "mlp.lin1"),
+            "Dense_1": dense(p + "mlp.lin2"),
+        }
+    n_masks = a(md + "mask_tokens.weight").shape[0]
+    for i in range(n_masks):
+        params[f"hyper_{i}"] = feed_forward(
+            f"{md}output_hypernetworks_mlps.{i}")
+    return {"params": params}
 
 
 class SamSegmenter:
@@ -201,7 +305,8 @@ class SamSegmenter:
             self._dec_params = self._decoder.init(
                 jax.random.key(0), emb, jnp.zeros((1, 4)))
         scale = self._img_size / max(h, w)
-        box = np.asarray(box_xyxy, np.float32) * scale / self._img_size
+        # +0.5 shifts the corner to the pixel center (SamPromptEncoder._embed_boxes)
+        box = (np.asarray(box_xyxy, np.float32) * scale + 0.5) / self._img_size
         masks, iou = self._jit_dec(self._dec_params, emb, box[None])
         best = int(np.argmax(np.asarray(iou)[0]))
         m = jnp.asarray(masks)[0, best]  # [4g, 4g] logits over the PADDED square

@@ -112,7 +112,7 @@ class SamBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         shortcut = x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         if self.window_size > 0:
             hw = y.shape[1:3]
             y, pad_hw = window_partition(y, self.window_size)
@@ -125,10 +125,10 @@ class SamBlock(nn.Module):
             y = window_unpartition(y, self.window_size, pad_hw, hw)
         x = shortcut + y
 
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
-        y = jax.nn.gelu(y)
+        y = jax.nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 
@@ -164,10 +164,10 @@ class SamImageEncoder(nn.Module):
         # neck: 1x1 conv -> LN -> 3x3 conv -> LN, to 256 channels
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
                     name="neck_conv1")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="neck_ln1")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="neck_ln1")(x)
         x = nn.Conv(self.out_chans, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="neck_conv2")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="neck_ln2")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="neck_ln2")(x)
         return x.astype(jnp.float32)  # [B, g, g, 256]
 
 
@@ -203,6 +203,58 @@ def preprocess_image(rgb: np.ndarray, img_size: int = 1024) -> np.ndarray:
     out = jnp.zeros((img_size, img_size, 3), jnp.float32)
     out = out.at[:nh, :nw].set(x)
     return np.asarray(out[None])
+
+
+def load_hf_sam_vision_weights(state_dict) -> dict:
+    """Map a transformers ``SamModel`` / ``SamVisionModel`` vision-encoder
+    state_dict (``vision_encoder.*`` keys, modeling_sam.py naming) onto
+    :class:`SamImageEncoder`. Same math as the facebook layout importer below —
+    only the key names differ (``patch_embed.projection`` vs ``patch_embed.proj``,
+    ``layers.N.layer_norm1`` vs ``blocks.N.norm1``, ``neck.layer_norm1`` vs
+    ``neck.1`` ...)."""
+
+    def a(key):
+        v = state_dict[key]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                          np.float32)
+
+    p = "vision_encoder."
+    params = {
+        "patch_embed": {
+            "kernel": a(p + "patch_embed.projection.weight").transpose(2, 3, 1, 0),
+            "bias": a(p + "patch_embed.projection.bias"),
+        },
+        "pos_embed": a(p + "pos_embed"),
+        "neck_conv1": {"kernel": a(p + "neck.conv1.weight").transpose(2, 3, 1, 0)},
+        "neck_ln1": {"scale": a(p + "neck.layer_norm1.weight"),
+                     "bias": a(p + "neck.layer_norm1.bias")},
+        "neck_conv2": {"kernel": a(p + "neck.conv2.weight").transpose(2, 3, 1, 0)},
+        "neck_ln2": {"scale": a(p + "neck.layer_norm2.weight"),
+                     "bias": a(p + "neck.layer_norm2.bias")},
+    }
+    depth = max(int(k.split(".")[2]) for k in state_dict
+                if k.startswith(p + "layers.")) + 1
+    for i in range(depth):
+        b = f"{p}layers.{i}."
+        params[f"block_{i}"] = {
+            "norm1": {"scale": a(b + "layer_norm1.weight"),
+                      "bias": a(b + "layer_norm1.bias")},
+            "norm2": {"scale": a(b + "layer_norm2.weight"),
+                      "bias": a(b + "layer_norm2.bias")},
+            "attn": {
+                "qkv": {"kernel": a(b + "attn.qkv.weight").T,
+                        "bias": a(b + "attn.qkv.bias")},
+                "proj": {"kernel": a(b + "attn.proj.weight").T,
+                         "bias": a(b + "attn.proj.bias")},
+                "rel_pos_h": a(b + "attn.rel_pos_h"),
+                "rel_pos_w": a(b + "attn.rel_pos_w"),
+            },
+            "mlp_fc1": {"kernel": a(b + "mlp.lin1.weight").T,
+                        "bias": a(b + "mlp.lin1.bias")},
+            "mlp_fc2": {"kernel": a(b + "mlp.lin2.weight").T,
+                        "bias": a(b + "mlp.lin2.bias")},
+        }
+    return {"params": params}
 
 
 def load_torch_sam_weights(state_dict) -> dict:
