@@ -82,6 +82,33 @@ def normalize_rgb(x: jax.Array) -> jax.Array:
     return (x.astype(jnp.float32) / 255.0) * 2.0 - 1.0
 
 
+def front_eligible(cfg: MethodConfig) -> bool:
+    """Whether the fully fused front kernel applies to this config."""
+    return (cfg.pallas_front and cfg.compute_dtype == "bfloat16"
+            and cfg.activation == "lrelu" and cfg.voxel_patch_size == 5
+            and cfg.voxel_patch_stride == 5 and cfg.voxel_size % 5 == 0)
+
+
+def fused_front_inputs(cfg: MethodConfig, params, coords, feats, bounds):
+    """Run the fused front kernel (ops/pallas/front_fused.py) with the model's own
+    preprocess/patchify weights; returns the ``front`` tuple for
+    ``PerceiverVoxelLangEncoder.__call__`` — (d0, patch_tokens, kp0, gmax0)."""
+    from voxactb_tpu.ops.pallas.front_fused import front_fused
+
+    p = params["params"]
+    w1 = p["input_preprocess"]["kernel"][0, 0, 0]
+    b1 = p["input_preprocess"]["bias"]
+    wp = p["patchify"]["kernel"]
+    bp = p["patchify"]["bias"]
+    d0, patch_pre, kp, gmax = front_fused(
+        coords, feats, bounds, w1, b1, wp, voxel_size=cfg.voxel_size,
+        interpret=cfg.pallas_interpret)
+    # bias + lrelu on the tiny patch grid, in Conv3D's f32-accumulate order
+    ins = jax.nn.leaky_relu(
+        (patch_pre + bp).astype(jnp.bfloat16), 0.02)
+    return d0, ins, kp, gmax
+
+
 def _flat_argmax_3d(q_trans: jax.Array) -> jax.Array:
     """[B,N,N,N,1] -> [B,3] int32 argmax voxel index (QFunction._argmax_3d :57-63)."""
     b = q_trans.shape[0]
@@ -132,8 +159,19 @@ def make_infer_fn(cfg: MethodConfig, low_dim_size: Optional[int] = None):
         feats = jnp.concatenate(
             [normalize_rgb(r).reshape(b, -1, 3) for r in rgbs], 1
         )
-        grid = voxelize(coords, feats, bounds, voxel_size=n)
-        out = model.apply(params, grid, proprio, lang_goal_emb, lang_token_embs)
+        if front_eligible(cfg):
+            # fully fused front: the dense voxel grid is never materialized;
+            # InferOutput.voxel_grid becomes a [B,1,1,1,10] placeholder (it only
+            # feeds visualization info — use pallas_front=False when rendering
+            # voxel grids).
+            front = fused_front_inputs(cfg, params, coords, feats, bounds)
+            grid = jnp.zeros((b, 1, 1, 1, 10), jnp.float32)
+            out = model.apply(params, grid, proprio, lang_goal_emb,
+                              lang_token_embs, front=front)
+        else:
+            grid = voxelize(coords, feats, bounds, voxel_size=n)
+            out = model.apply(params, grid, proprio, lang_goal_emb,
+                              lang_token_embs)
 
         def decode(trans, rot_grip, collision):
             t_idx = _flat_argmax_3d(trans)

@@ -98,6 +98,8 @@ class MethodConfig:
     zshift_conv3d: bool = True      # stride-1 k3 convs as depth-shifted 2D convs
     pallas_decoder: bool = False    # fused decoder tail kernel (TPU inference)
     pallas_encoder: bool = False    # fused preprocess+stats kernel (TPU inference)
+    pallas_front: bool = False      # fully fused voxelize+preprocess+stats+patchify
+    # kernel (TPU inference; subsumes pallas_encoder and skips the dense grid)
     pallas_interpret: bool = False  # run pallas kernels interpreted (CPU tests)
 
     @property

@@ -185,7 +185,13 @@ class PerceiverVoxelLangEncoder(nn.Module):
         lang_token_embs: jax.Array,     # [B, 77, lang_emb_dim]
         *,
         train: bool = False,
+        front=None,
     ):
+        """``front``, when given, is ``(d0, patch_tokens, kp0, gmax0)`` precomputed
+        by the fully fused front kernel (ops/pallas/front_fused.py, driven from
+        agents.qfunction.fused_front_inputs with THIS module's params); the dense
+        voxel grid is then never materialized and ``voxel_grid`` may be a dummy
+        [B, 1, 1, 1, initial_dim] tensor carrying only batch/channel sizes."""
         del lang_goal_emb  # 'seq' fusion conditions on token embeddings only
         deterministic = not train
         n = self.voxel_size
@@ -199,10 +205,24 @@ class PerceiverVoxelLangEncoder(nn.Module):
         use_fused_front = (
             self.pallas_encoder and not train and not self.is_initializing()
             and self.activation == "lrelu" and self.dtype == jnp.bfloat16
+            and front is None
         )
         preprocess = Conv3D(self.im_channels, 1, 1, self.activation,
                             dtype=self.dtype, name="input_preprocess")
-        if use_fused_front:
+        patchify = Conv3D(self.im_channels, self.voxel_patch_size,
+                          self.voxel_patch_stride, self.activation,
+                          dtype=self.dtype, name="patchify")
+        if front is not None and not self.is_initializing():
+            # params still declared (identical tree); weights were consumed by the
+            # external fused kernel
+            preprocess(jnp.zeros((1, 1, 1, 1, x_in.shape[-1]), self.dtype),
+                       return_params=True)
+            patchify(jnp.zeros((1, 1, 1, 1, self.im_channels), self.dtype),
+                     return_params=True)
+            d0, ins, kp0, gmax0 = front
+            d0 = d0.astype(self.dtype)
+            ins = ins.astype(self.dtype)
+        elif use_fused_front:
             from voxactb_tpu.ops.pallas.encoder_stats import encoder_stats
 
             k1, b1 = preprocess(
@@ -211,14 +231,12 @@ class PerceiverVoxelLangEncoder(nn.Module):
             d0, kp0, gmax0 = encoder_stats(
                 x_in, jnp.asarray(k1)[0, 0, 0], jnp.asarray(b1).reshape(-1),
                 interpret=self.pallas_interpret)
+            ins = patchify(d0)
         else:
             d0 = preprocess(x_in)
             kp0, gmax0 = self._stats(d0)
+            ins = patchify(d0)
         feats = [kp0, gmax0]
-
-        # patchify (perceiver_lang_io.py:363)
-        ins = Conv3D(self.im_channels, self.voxel_patch_size, self.voxel_patch_stride,
-                     self.activation, dtype=self.dtype, name="patchify")(d0)
 
         # tile proprio stream(s) over the patch grid (perceiver_lang_io.py:370-373)
         if self.low_dim_size > 0:
