@@ -31,13 +31,19 @@ BATCH = 8
 # batch-8, 50^3 crop). Defaults ON in all bench configs.
 PALLAS_DECODER = os.environ.get("BENCH_PALLAS_DECODER", "1") == "1"
 PALLAS_ENCODER = os.environ.get("BENCH_PALLAS_ENCODER", "1") == "1"
+# round-3 fully fused front (voxelize+preprocess+stats+patchify, one kernel)
+PALLAS_FRONT = os.environ.get("BENCH_PALLAS_FRONT", "1") == "1"
 
 
 def build_chain(cfg, batch, params=None):
     import jax
     import jax.numpy as jnp
 
-    from voxactb_tpu.agents.qfunction import build_encoder
+    from voxactb_tpu.agents.qfunction import (
+        build_encoder,
+        front_eligible,
+        fused_front_inputs,
+    )
     from voxactb_tpu.ops import geometry as G
     from voxactb_tpu.ops.voxelize import voxelize
 
@@ -65,8 +71,14 @@ def build_chain(cfg, batch, params=None):
         rgb, pcd = obs
         coords = pcd.reshape(batch, -1, 3)
         feats = ((rgb / 255.0) * 2.0 - 1.0).reshape(batch, -1, 3)
-        grid = voxelize(coords, feats, bounds, voxel_size=n)
-        out = model.apply(params, grid, proprio, lang_goal, lang_tok)
+        if front_eligible(cfg):
+            front = fused_front_inputs(cfg, params, coords, feats, bounds)
+            grid = jnp.zeros((batch, 1, 1, 1, 10), jnp.float32)
+            out = model.apply(params, grid, proprio, lang_goal, lang_tok,
+                              front=front)
+        else:
+            grid = voxelize(coords, feats, bounds, voxel_size=n)
+            out = model.apply(params, grid, proprio, lang_goal, lang_tok)
         flat = jnp.argmax(out["trans"].reshape(batch, -1), -1).astype(jnp.int32)
         idx = jnp.stack([flat // (n * n), (flat // n) % n, flat % n], -1)
         att = G.attention_coordinate(idx, n, bounds)
@@ -143,6 +155,8 @@ def time_train_chain(batch: int, n_steps: int = 8):
     device_batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
     state = jax.jit(init_fn)(jax.random.key(0), device_batch)
+    param_count = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.params))
 
     @jax.jit
     def chained(state, batch, key):
@@ -163,7 +177,136 @@ def time_train_chain(batch: int, n_steps: int = 8):
         loss = float(np.asarray(loss))  # fetch INSIDE the timed region (axon
         walls.append(time.perf_counter() - t0)  # relay returns early)
         assert np.isfinite(loss)
-    return n_steps * batch / sorted(walls)[len(walls) // 2]
+    return n_steps * batch / sorted(walls)[len(walls) // 2], param_count
+
+
+def time_dual_policy_chain(n_steps: int = 32):
+    """BASELINE staged config #2: the VoxAct-B dual-policy episode — acting and
+    stabilizing parameter sets alternating per step on the 50^3 VLM-cropped grid
+    (rollout_generator.py:233-244). One chained program; the step's parameter set
+    is a dynamic slice of a stacked param pair, so each step reads only the
+    selected network's weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxactb_tpu.agents.qfunction import (
+        build_encoder, front_eligible, fused_front_inputs)
+    from voxactb_tpu.config import MethodConfig
+    from voxactb_tpu.ops.voxelize import voxelize
+
+    cfg = MethodConfig(voxel_sizes=[50], which_arm="right",
+                       compute_dtype="bfloat16", zshift_conv3d=True,
+                       pallas_decoder=PALLAS_DECODER,
+                       pallas_encoder=PALLAS_ENCODER,
+                       pallas_front=PALLAS_FRONT)
+    model = build_encoder(cfg)
+    n = cfg.voxel_size
+    rng = np.random.default_rng(0)
+    img = 128
+    rgbs = jnp.asarray(rng.integers(
+        0, 255, (n_steps, 2, 1, img, img, 3)).astype(np.float32))
+    pcds = jnp.asarray(rng.uniform(
+        -0.5, 1.5, (n_steps, 2, 1, img, img, 3)).astype(np.float32))
+    proprio = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+    lang_goal = jnp.asarray(rng.normal(size=(1, 1024)).astype(np.float32))
+    lang_tok = jnp.asarray(rng.normal(size=(1, 77, 512)).astype(np.float32))
+    bounds = jnp.asarray([[-0.1, -0.3, 0.5, 0.5, 0.3, 1.1]], jnp.float32)
+
+    p_act = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, n, n, n, 10)), jnp.zeros((1, 4)),
+        jnp.zeros((1, 1024)), jnp.zeros((1, 77, 512)))
+    p_stab = jax.jit(model.init)(
+        jax.random.key(1), jnp.zeros((1, n, n, n, 10)), jnp.zeros((1, 4)),
+        jnp.zeros((1, 1024)), jnp.zeros((1, 77, 512)))
+    stacked = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), p_act, p_stab)
+
+    def one_step(step, obs):
+        rgb, pcd = obs
+        params = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, step % 2, 0,
+                                                   keepdims=False), stacked)
+        coords = pcd.reshape(1, -1, 3)
+        feats = ((rgb / 255.0) * 2.0 - 1.0).reshape(1, -1, 3)
+        if front_eligible(cfg):
+            front = fused_front_inputs(cfg, params, coords, feats, bounds)
+            grid = jnp.zeros((1, 1, 1, 1, 10), jnp.float32)
+            out = model.apply(params, grid, proprio, lang_goal, lang_tok,
+                              front=front)
+        else:
+            grid = voxelize(coords, feats, bounds, voxel_size=n)
+            out = model.apply(params, grid, proprio, lang_goal, lang_tok)
+        act = jnp.argmax(out["trans"].reshape(1, -1), -1).astype(jnp.float32)
+        return step + 1, act
+
+    @jax.jit
+    def chained(rgbs, pcds):
+        return jax.lax.scan(one_step, 0, (rgbs, pcds))[1]
+
+    acts = np.asarray(chained(rgbs, pcds))  # compile + warm
+    assert np.isfinite(acts).all()
+    walls = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        acts = np.asarray(chained(rgbs, pcds))
+        walls.append(time.perf_counter() - t0)
+    return n_steps / sorted(walls)[len(walls) // 2]
+
+
+def time_vlm_pass(n_chain: int = 4):
+    """BASELINE staged config #3: the episode-frequency VLM pass on chip —
+    OWL-ViT-base detection (768^2) + SAM-B box-prompted segmentation (1024^2,
+    encoder + mask decoder), random weights (a perf number, vlm.py:144-194)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxactb_tpu.models.owlvit import OwlViTDetector, OwlViTImageEncoder
+    from voxactb_tpu.models.sam_decoder import SamMaskDecoder
+    from voxactb_tpu.models.sam_encoder import sam_vit_b
+
+    rng = np.random.default_rng(0)
+    bf = jnp.bfloat16
+
+    det = OwlViTDetector(
+        embed_dim=512, image_encoder=OwlViTImageEncoder(dtype=bf), dtype=bf)
+    det_params = jax.jit(det.init)(
+        jax.random.key(0), jnp.zeros((1, 768, 768, 3)), jnp.zeros((2, 512)))
+    sam = sam_vit_b(dtype=bf)
+    sam_params = jax.jit(sam.init)(
+        jax.random.key(1), jnp.zeros((1, 1024, 1024, 3)))
+    dec = SamMaskDecoder(dtype=bf)
+    dec_params = jax.jit(dec.init)(
+        jax.random.key(2), jnp.zeros((1, 64, 64, 256)), jnp.zeros((1, 4)))
+
+    imgs_owl = jnp.asarray(rng.normal(size=(n_chain, 1, 768, 768, 3))
+                           .astype(np.float32))
+    imgs_sam = jnp.asarray(rng.normal(size=(n_chain, 1, 1024, 1024, 3))
+                           .astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+
+    @jax.jit
+    def vlm_chain(imgs_owl, imgs_sam):
+        def step(c, xs):
+            io, im = xs
+            logits, boxes = det.apply(det_params, io, txt)
+            best = jnp.argmax(logits.reshape(-1))
+            box = boxes.reshape(-1, 4)[best]
+            box_xyxy = jnp.stack([box[0] - box[2] / 2, box[1] - box[3] / 2,
+                                  box[0] + box[2] / 2, box[1] + box[3] / 2])
+            emb = sam.apply(sam_params, im)
+            masks, iou = dec.apply(dec_params, emb, box_xyxy[None])
+            sel = jnp.argmax(iou[0])
+            return c, jnp.sum(masks[0, sel] > 0)
+        return jax.lax.scan(step, 0, (imgs_owl, imgs_sam))[1]
+
+    areas = np.asarray(vlm_chain(imgs_owl, imgs_sam))  # compile + warm
+    assert np.isfinite(areas.astype(np.float32)).all()
+    walls = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        areas = np.asarray(vlm_chain(imgs_owl, imgs_sam))
+        walls.append(time.perf_counter() - t0)
+    return sorted(walls)[len(walls) // 2] / n_chain * 1000.0  # ms per frame
 
 
 def main():
@@ -182,13 +325,15 @@ def main():
     cfg_lat = MethodConfig(voxel_sizes=[100], which_arm="right",
                            compute_dtype="bfloat16", zshift_conv3d=True,
                            pallas_decoder=PALLAS_DECODER,
-                           pallas_encoder=PALLAS_ENCODER)
+                           pallas_encoder=PALLAS_ENCODER,
+                           pallas_front=PALLAS_FRONT)
     # throughput mode: pallas kernels win at batch 8 too (27.3 vs 25.3 acts/s
     # paired A/B on-chip)
     cfg_thr = MethodConfig(voxel_sizes=[100], which_arm="right",
                            compute_dtype="bfloat16", zshift_conv3d=True,
                            pallas_decoder=PALLAS_DECODER,
-                           pallas_encoder=PALLAS_ENCODER)
+                           pallas_encoder=PALLAS_ENCODER,
+                           pallas_front=PALLAS_FRONT)
 
     lat_chain, r1, p1 = build_chain(cfg_lat, batch=1)
     single_sps = time_chain(lat_chain, r1, p1, 1)
@@ -203,12 +348,28 @@ def main():
     # BC train-step throughput at the canonical training point: 50^3 VLM-cropped
     # grid, LAMB, SE(3) aug on device (BASELINE staged config #4; the reference
     # trains this at batch 1 on one GPU — scripts/train_open_jar_*.sh)
-    train_sps = None
+    train_sps, train_params = None, None
     if os.environ.get("BENCH_SKIP_TRAIN") != "1":
         try:
-            train_sps = time_train_chain(batch=8)
+            train_sps, train_params = time_train_chain(batch=8)
         except Exception:
             train_sps = None
+
+    # BASELINE staged config #2: dual acting+stabilizing policies alternating
+    dual_sps = None
+    if os.environ.get("BENCH_SKIP_DUAL") != "1":
+        try:
+            dual_sps = time_dual_policy_chain()
+        except Exception:
+            dual_sps = None
+
+    # BASELINE staged config #3: episode-frequency VLM pass (OWL-ViT + SAM-B)
+    vlm_ms = None
+    if os.environ.get("BENCH_SKIP_VLM") != "1":
+        try:
+            vlm_ms = time_vlm_pass()
+        except Exception:
+            vlm_ms = None
 
     # the VoxAct-B operating point: 50^3 VLM-cropped grid (launch_utils.py:341-347)
     crop50_sps = None
@@ -216,7 +377,8 @@ def main():
         cfg50 = MethodConfig(voxel_sizes=[50], which_arm="right",
                              compute_dtype="bfloat16", zshift_conv3d=True,
                              pallas_decoder=PALLAS_DECODER,
-                             pallas_encoder=PALLAS_ENCODER)
+                             pallas_encoder=PALLAS_ENCODER,
+                             pallas_front=PALLAS_FRONT)
         c50, r50, p50 = build_chain(cfg50, batch=1)
         crop50_sps = time_chain(c50, r50, p50, 1)
 
@@ -228,13 +390,28 @@ def main():
     # physical v5e specs (819 GB/s, 197 TFLOP/s bf16)
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
-    from cost_model import act_cost, speed_of_light
+    from cost_model import act_cost, speed_of_light, train_cost
 
-    cost = act_cost(n=100, batch=1, fused_decoder=PALLAS_DECODER)
+    cost = act_cost(n=100, batch=1, fused_decoder=PALLAS_DECODER,
+                    fused_front=PALLAS_FRONT)
     measured_s = 1.0 / single_sps
     relay_bw, relay_flops = 66e9, 180e12
     sol_relay = speed_of_light(cost, relay_flops, relay_bw)
     sol_v5e = speed_of_light(cost)
+
+    # batched-8 SOL: the act program is bandwidth-bound, so 8x the traffic at a
+    # fixed 66 GB/s caps batched throughput near the single-act rate — the
+    # quantified ceiling for the "batching buys nothing" observation
+    cost_b8 = act_cost(n=100, batch=8, fused_decoder=PALLAS_DECODER,
+                       fused_front=PALLAS_FRONT)
+    sol_b8_relay = speed_of_light(cost_b8, relay_flops, relay_bw)
+
+    # train-step roofline (fwd+bwd+LAMB at the canonical 50^3 batch-8 point;
+    # remat is OFF in the bench train config — cfg.remat defaults False)
+    tcost = train_cost(n=50, batch=8,
+                       param_count=train_params or 35.7e6, remat=False)
+    sol_train_relay = speed_of_light(tcost, relay_flops, relay_bw)
+    sol_train_v5e = speed_of_light(tcost)
 
     out = {
         "metric": "fused voxelize+Q-forward steps/sec @100^3 grid "
@@ -256,8 +433,25 @@ def main():
     }
     if batched_sps is not None:
         out["batched8_steps_per_s"] = round(float(batched_sps), 2)
+        out["sol_frac_batched"] = round(
+            sol_b8_relay["sol_ms"] / 1e3 * batched_sps / 8.0, 3)
+        out["batched8_ceiling_acts_per_s"] = round(
+            8e3 / sol_b8_relay["sol_ms"], 1)
     if train_sps is not None:
         out["train50_samples_per_s"] = round(float(train_sps), 2)
+        step_s = 8.0 / train_sps
+        out["train_mfu_pct"] = round(
+            100 * tcost["flops"] / (step_s * relay_flops), 1)
+        out["train_sol_ms_relay"] = round(sol_train_relay["sol_ms"], 2)
+        out["train_sol_frac_relay"] = round(
+            sol_train_relay["sol_ms"] / 1e3 / step_s, 3)
+        out["train_samples_per_s_sol_physical_v5e"] = round(
+            8e3 / sol_train_v5e["sol_ms"], 1)
+        out["train_param_bytes_mb"] = round(tcost["param_bytes"] / 1e6, 1)
+    if dual_sps is not None:
+        out["dual50_acts_per_s"] = round(float(dual_sps), 2)
+    if vlm_ms is not None:
+        out["vlm_ms_per_frame"] = round(float(vlm_ms), 2)
     if crop50_sps is not None:
         out["crop50_steps_per_s"] = round(float(crop50_sps), 2)
         out["crop50_latency_ms"] = round(1000.0 / crop50_sps, 2)

@@ -25,7 +25,8 @@ def act_cost(n: int = 100, batch: int = 1, img: int = 128, cams: int = 2,
              im_ch: int = 64, latents: int = 2048, latent_dim: int = 512,
              depth: int = 6, patch: int = 5, lang_len: int = 77,
              input_dim: int = 10, heads_t: int = 1,
-             fused_decoder: bool = False) -> Dict[str, float]:
+             fused_decoder: bool = False,
+             fused_front: bool = False, row_cap: int = 2048) -> Dict[str, float]:
     """Per-act FLOPs and minimal HBM bytes of the inference program."""
     s = n // patch                      # patch grid (20)
     seq = lang_len + s ** 3             # 8077
@@ -36,23 +37,36 @@ def act_cost(n: int = 100, batch: int = 1, img: int = 128, cams: int = 2,
     fl: Dict[str, float] = {}
     by: Dict[str, float] = {}
 
-    # voxelize: scatter-add of [P, 8] + grid emit (bandwidth only)
-    by["voxelize"] = (p * 6 * f4                       # coords+rgb in
-                      + (n + 2) ** 3 * 8 * f4 * 2      # scatter grid init+read
-                      + n ** 3 * input_dim * f4)       # output grid
-    fl["voxelize"] = p * 30
+    if fused_front:
+        # ops/pallas/front_fused.py: sort+gather pre-pass on [P]-sized tensors,
+        # one kernel pass writing d0 once; the dense grid never exists. The
+        # patchify wide-dot schedule does 5x the minimal patchify MACs.
+        by["front"] = (p * 6 * f4                      # coords+rgb in
+                       + p * 8 * f4 * 2                # sort + payload build
+                       + 2 * n * row_cap * 8 * f4      # row gather write + read
+                       + n ** 3 * im_ch * bf2          # d0 write (once)
+                       + s ** 3 * im_ch * f4)          # patch tokens out
+        fl["front"] = (p * 30 + 2 * n ** 3 * input_dim * im_ch
+                       + 6 * n ** 3 * im_ch
+                       + 5 * 2 * s ** 3 * patch ** 3 * im_ch * im_ch)
+    else:
+        # voxelize: scatter-add of [P, 8] + grid emit (bandwidth only)
+        by["voxelize"] = (p * 6 * f4                   # coords+rgb in
+                          + (n + 2) ** 3 * 8 * f4 * 2  # scatter grid init+read
+                          + n ** 3 * input_dim * f4)   # output grid
+        fl["voxelize"] = p * 30
 
-    # 1x1x1 preprocess -> d0 [N^3, 64]
-    fl["preprocess"] = 2 * n ** 3 * input_dim * im_ch
-    by["preprocess"] = n ** 3 * input_dim * f4 + n ** 3 * im_ch * bf2
+        # 1x1x1 preprocess -> d0 [N^3, 64]
+        fl["preprocess"] = 2 * n ** 3 * input_dim * im_ch
+        by["preprocess"] = n ** 3 * input_dim * f4 + n ** 3 * im_ch * bf2
 
-    # stats(d0): two passes (max, exp-weighted sums)
-    fl["stats_d0"] = 6 * n ** 3 * im_ch
-    by["stats_d0"] = 2 * n ** 3 * im_ch * bf2
+        # stats(d0): two passes (max, exp-weighted sums)
+        fl["stats_d0"] = 6 * n ** 3 * im_ch
+        by["stats_d0"] = 2 * n ** 3 * im_ch * bf2
 
-    # patchify conv k5 s5 (+ proprio/lang preprocess, negligible)
-    fl["patchify"] = 2 * s ** 3 * patch ** 3 * im_ch * im_ch
-    by["patchify"] = n ** 3 * im_ch * bf2 + s ** 3 * im_ch * bf2
+        # patchify conv k5 s5 (+ proprio/lang preprocess, negligible)
+        fl["patchify"] = 2 * s ** 3 * patch ** 3 * im_ch * im_ch
+        by["patchify"] = n ** 3 * im_ch * bf2 + s ** 3 * im_ch * bf2
 
     # perceiver trunk: cross-attn (1 head, dim->latent), depth self-attn + GEGLU FF,
     # decoder cross-attn back to the sequence
@@ -66,10 +80,12 @@ def act_cost(n: int = 100, batch: int = 1, img: int = 128, cams: int = 2,
     dec = (2 * seq * d_in * 64 + 2 * latents * d_lat * 128
            + 2 * seq * latents * 64 * 2 + 2 * seq * 64 * d_in)
     fl["attention"] = cross + ff + depth * (self_attn + ff) + dec
-    # weights + activations stream once
+    # activations stream once; weights are accounted separately (read ONCE per
+    # step regardless of batch — batched matmuls share the weight fetch)
     attn_params = depth * (4 * d_lat * d_lat + 3 * d_lat * 4 * d_lat) \
         + 2 * latents * d_lat
-    by["attention"] = attn_params * bf2 + 4 * seq * d_in * bf2 \
+    weight_bytes = attn_params * bf2
+    by["attention"] = 4 * seq * d_in * bf2 \
         + 2 * latents * d_lat * bf2 * depth
 
     # decoder upsample: conv_in k5 @20^3 + phase-composed k3 -> 125*64 channels
@@ -95,12 +111,45 @@ def act_cost(n: int = 100, batch: int = 1, img: int = 128, cams: int = 2,
                               + heads_t * n ** 3 * f4)
 
     total_fl = float(sum(fl.values())) * batch
-    total_by = float(sum(by.values())) * batch
+    act_by = float(sum(by.values())) * batch
     return {
         "flops": total_fl,
-        "bytes": total_by,
+        "bytes": act_by + weight_bytes,
+        "activation_bytes": act_by,
+        "weight_bytes": float(weight_bytes),
         "flops_by_stage": fl,
         "bytes_by_stage": by,
+    }
+
+
+def train_cost(n: int = 50, batch: int = 8, param_count: float = 35.7e6,
+               remat: bool = False, **kw) -> Dict[str, float]:
+    """Per-step fwd+bwd+LAMB FLOPs and minimal HBM bytes of the BC train program.
+
+    The forward reuses :func:`act_cost`'s stage model (training runs the
+    differentiable XLA ops, so ``fused_decoder=False``). Backward of a matmul/conv
+    costs ~2x its forward FLOPs (dX and dW passes); elementwise/stats stages
+    backprop at ~1x. Memory: the forward writes each activation once and the
+    backward re-reads it and writes/reads a same-sized gradient (3x activation
+    traffic; with remat the fwd tensors are recomputed instead: +1x fwd FLOPs,
+    2x activation traffic). Parameter-side traffic per step (dominant at small
+    grids): bf16 params read in fwd AND in bwd (2+2 B), f32 grads written+read
+    (8 B), LAMB moments m,v read+written (16 B), f32 master params read+written
+    (8 B) and the trust-ratio norm pass (~2 B) -> ~38 B/param.
+    """
+    fwd = act_cost(n=n, batch=batch, fused_decoder=False, **kw)
+    matmul_frac = 0.9  # share of fwd FLOPs in conv/matmul stages (heads are tiny)
+    bwd_flops = fwd["flops"] * (2.0 * matmul_frac + 1.0 * (1 - matmul_frac))
+    flops = fwd["flops"] + bwd_flops + (fwd["flops"] if remat else 0.0)
+    # activation traffic only — parameter reads are inside param_traffic below
+    act_traffic = fwd["activation_bytes"] * (2.0 if remat else 3.0)
+    param_traffic = param_count * 38.0
+    return {
+        "flops": float(flops),
+        "bytes": float(act_traffic + param_traffic),
+        "fwd_flops": float(fwd["flops"]),
+        "param_bytes": float(param_traffic),
+        "activation_bytes": float(act_traffic),
     }
 
 

@@ -131,9 +131,12 @@ def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
     count = acc[:, :, 6:7]
     mean6 = acc[:, :, 0:6] / jnp.maximum(count, 1.0)
     occ = (count > 0).astype(jnp.float32)
-    d0f = jnp.full((n, np8, 1), t / float(n), jnp.float32)
-    d1f = jax.lax.broadcasted_iota(jnp.float32, (n, np8, 1), 0) / float(n)
-    d2f = jax.lax.broadcasted_iota(jnp.float32, (n, np8, 1), 1) / float(n)
+    d0f = jnp.broadcast_to(
+        (t.astype(jnp.float32) / float(n)).reshape(1, 1, 1), (n, np8, 1))
+    d1f = jax.lax.broadcasted_iota(  # Mosaic iota is integer-only
+        jnp.int32, (n, np8, 1), 0).astype(jnp.float32) / float(n)
+    d2f = jax.lax.broadcasted_iota(
+        jnp.int32, (n, np8, 1), 1).astype(jnp.float32) / float(n)
     grid16 = jnp.concatenate(
         [mean6, d0f, d1f, d2f, occ, jnp.zeros((n, np8, 6), jnp.float32)], axis=-1)
 
