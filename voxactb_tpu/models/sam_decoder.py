@@ -282,6 +282,74 @@ def load_hf_sam_decoder_weights(state_dict) -> dict:
     return {"params": params}
 
 
+def load_torch_sam_decoder_weights(state_dict) -> dict:
+    """Map a facebook segment-anything checkpoint's prompt-encoder + mask-decoder
+    (``prompt_encoder.*`` / ``mask_decoder.*`` keys, original naming: norm1..4,
+    mlp.lin1/lin2, output_upscaling.0/1/3, MLP ``layers.N``) onto
+    :class:`SamMaskDecoder` — the companion of ``load_torch_sam_weights`` so a
+    single sam_vit_*.pth loads the whole segmentation path."""
+
+    def a(key):
+        v = state_dict[key]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                          np.float32)
+
+    def dense(key):
+        return {"kernel": a(key + ".weight").T, "bias": a(key + ".bias")}
+
+    def ln(key):
+        return {"scale": a(key + ".weight"), "bias": a(key + ".bias")}
+
+    def sam_attn(key):
+        return {"q": dense(key + ".q_proj"), "k": dense(key + ".k_proj"),
+                "v": dense(key + ".v_proj"), "out": dense(key + ".out_proj")}
+
+    def mlp3(key):  # facebook SamFeedForward equivalent: MLP with layers.0..2
+        return {f"Dense_{i}": dense(f"{key}.layers.{i}") for i in range(3)}
+
+    def conv_t(key):
+        w = a(key + ".weight").transpose(2, 3, 0, 1)[::-1, ::-1]
+        return {"kernel": np.ascontiguousarray(w), "bias": a(key + ".bias")}
+
+    md = "mask_decoder."
+    params = {
+        "pe": {"gaussian_matrix":
+               a("prompt_encoder.pe_layer.positional_encoding_gaussian_matrix")},
+        "corner_embed": np.concatenate(
+            [a("prompt_encoder.point_embeddings.2.weight"),
+             a("prompt_encoder.point_embeddings.3.weight")], axis=0),
+        "no_mask_embed": a("prompt_encoder.no_mask_embed.weight"),
+        "iou_token": a(md + "iou_token.weight"),
+        "mask_tokens": a(md + "mask_tokens.weight"),
+        "up1": conv_t(md + "output_upscaling.0"),
+        "up2": conv_t(md + "output_upscaling.3"),
+        "LayerNorm_1": ln(md + "output_upscaling.1"),
+        "final_t2i": sam_attn(md + "transformer.final_attn_token_to_image"),
+        "LayerNorm_0": ln(md + "transformer.norm_final_attn"),
+        "iou_head": mlp3(md + "iou_prediction_head"),
+    }
+    lp = md + "transformer.layers."
+    depth = max(int(k[len(lp):].split(".")[0]) for k in state_dict
+                if k.startswith(lp)) + 1
+    for i in range(depth):
+        p = f"{lp}{i}."
+        params[f"block_{i}"] = {
+            "self_attn": sam_attn(p + "self_attn"),
+            "cross_t2i": sam_attn(p + "cross_attn_token_to_image"),
+            "cross_i2t": sam_attn(p + "cross_attn_image_to_token"),
+            "LayerNorm_0": ln(p + "norm1"),
+            "LayerNorm_1": ln(p + "norm2"),
+            "LayerNorm_2": ln(p + "norm3"),
+            "LayerNorm_3": ln(p + "norm4"),
+            "Dense_0": dense(p + "mlp.lin1"),
+            "Dense_1": dense(p + "mlp.lin2"),
+        }
+    n_masks = a(md + "mask_tokens.weight").shape[0]
+    for i in range(n_masks):
+        params[f"hyper_{i}"] = mlp3(f"{md}output_hypernetworks_mlps.{i}")
+    return {"params": params}
+
+
 class SamSegmenter:
     """End-to-end box-prompted segmentation: encoder + decoder + mask selection."""
 

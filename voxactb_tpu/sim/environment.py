@@ -197,12 +197,19 @@ _LANG_CACHE: Dict[str, tuple] = {}
 
 
 def default_sim_language_encoder():
-    """Process-wide real CLIP text encoding for sim observations, cached per
-    description (replaces round-1's hash-noise embeddings). The tower is the
-    repo's own ClipTextEncoder at a small depth: deterministic, genuinely
-    language-conditioned (different descriptions -> different embeddings through
-    a real tokenizer + transformer), cheap enough for the 1-CPU test box.
-    Reference behavior: launch_utils.py:384-400 CLIP-encodes every description."""
+    """Process-wide CLIP text encoding for sim observations, cached per
+    description. Reference behavior: launch_utils.py:384-400 CLIP-encodes every
+    description with pretrained RN50.
+
+    Weights: when a real CLIP checkpoint is available
+    (``$VOXACTB_WEIGHTS_DIR/clip_rn50.pt`` — utils/pretrained.py), the full
+    pretrained RN50 text tower is used. Otherwise the fallback is a
+    RANDOM-INIT 2-layer ClipTextEncoder: deterministic and genuinely
+    language-conditioned (real BPE tokenizer + transformer, so different
+    descriptions map to different embeddings), but NOT semantically meaningful
+    CLIP space — fine for the memorization-style sim tests this image can run,
+    wrong for transfer experiments. This image ships no checkpoints, so the
+    fallback is what CI exercises."""
 
     def encode(text: str):
         global _LANG_ENC
@@ -213,10 +220,19 @@ def default_sim_language_encoder():
 
                 from voxactb_tpu.models.clip_text import ClipTextEncoder
                 from voxactb_tpu.utils.bpe import SimpleTokenizer
+                from voxactb_tpu.utils.pretrained import load_clip_text
 
-                model = ClipTextEncoder(layers=2)
-                params = model.init(
-                    jax.random.key(0), jnp.zeros((1, 77), jnp.int32))
+                loaded = None
+                try:
+                    loaded = load_clip_text()
+                except Exception:
+                    loaded = None  # unreadable checkpoint -> random-init path
+                if loaded is not None:
+                    model, params = loaded
+                else:
+                    model = ClipTextEncoder(layers=2)
+                    params = model.init(
+                        jax.random.key(0), jnp.zeros((1, 77), jnp.int32))
                 _LANG_ENC = (jax.jit(model.apply), params, SimpleTokenizer())
             apply, params, tok = _LANG_ENC
             sent, tok_embs = apply(params, tok.tokenize(text))

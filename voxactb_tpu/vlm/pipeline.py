@@ -167,6 +167,39 @@ class JaxOwlVitSamDetector:
         self._threshold = score_threshold
         self._query_cache = {}
 
+    @classmethod
+    def from_pretrained(cls, sam_size: str = "vit_h",
+                        score_threshold: float = 0.1):
+        """Build from locally available checkpoints (utils/pretrained.py hook:
+        $VOXACTB_WEIGHTS_DIR with owlvit_base.pt + sam_{size}.pth). Raises
+        FileNotFoundError when weights are absent — callers fall back to
+        MaskLocalizer / GroundTruthLocalizer, the documented random-init-free
+        default on this image."""
+        from voxactb_tpu.models.owlvit import OwlViTPipeline
+        from voxactb_tpu.models.sam_decoder import (
+            SamMaskDecoder,
+            SamSegmenter,
+            load_torch_sam_decoder_weights,
+        )
+        from voxactb_tpu.utils import pretrained
+
+        owl = pretrained.load_owlvit()
+        sam = pretrained.load_sam_encoder(sam_size)
+        if owl is None or sam is None:
+            raise FileNotFoundError(
+                "no OWL-ViT / SAM checkpoints under "
+                f"{pretrained.weights_dir()} (need owlvit_base.pt and "
+                f"sam_{sam_size}.pth)")
+        (det, det_params), (text, text_params) = owl
+        enc, enc_params = sam
+        from voxactb_tpu.utils.pretrained import _torch_state_dict, find_weights
+
+        dec_params = load_torch_sam_decoder_weights(
+            _torch_state_dict(find_weights(f"sam_{sam_size}")))
+        pipeline = OwlViTPipeline(det, det_params, text, text_params)
+        segmenter = SamSegmenter(enc, enc_params, SamMaskDecoder(), dec_params)
+        return cls(pipeline, segmenter, score_threshold)
+
     def __call__(self, rgb: np.ndarray, query: str) -> np.ndarray:
         if query not in self._query_cache:
             self._query_cache[query] = self._owl.embed_queries([query])
