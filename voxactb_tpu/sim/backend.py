@@ -86,6 +86,7 @@ class KinematicBackend(SimBackend):
         }
         self.rng = np.random.default_rng(seed)
         self.time = 0
+        self.arm_collision = False
 
     # -- objects ---------------------------------------------------------------------
 
@@ -119,6 +120,7 @@ class KinematicBackend(SimBackend):
             # release anything held
         for o in self._objects.values():
             o.grasped_by = None
+        self.arm_collision = False
 
     def move_arm_towards(self, which: str, position, quaternion,
                          max_step: float = 0.05) -> bool:
@@ -137,6 +139,33 @@ class KinematicBackend(SimBackend):
         self._carry_grasped(which)
         return dist <= max_step
 
+    # grasp model knobs: objects inside ENCLOSE_RADIUS are between the fingers
+    # and grab regardless of orientation; out to GRASP_RADIUS the object must lie
+    # within APPROACH_CONE_DEG of the tool approach axis (palm +z) — the
+    # kinematic stand-in for Robotiq finger-contact geometry
+    # (pyrep/robots/end_effectors/gripper.py grasp requires actuated touch).
+    ENCLOSE_RADIUS = 0.02
+    GRASP_RADIUS = 0.06
+    APPROACH_CONE_DEG = 40.0
+
+    @staticmethod
+    def _approach_axis(quat_xyzw: np.ndarray) -> np.ndarray:
+        """Tool +z axis in world frame (the palm direction; scripted grasps use
+        DOWN = [0,1,0,0] whose approach axis is world -z)."""
+        x, y, z, w = np.asarray(quat_xyzw, np.float64)
+        return np.array([2 * (x * z + w * y), 2 * (y * z - w * x),
+                         1.0 - 2 * (x * x + y * y)])
+
+    def _graspable(self, a: ArmState, o: "ObjectState") -> bool:
+        d = o.position - a.tcp_position
+        dist = float(np.linalg.norm(d))
+        if dist >= self.GRASP_RADIUS:
+            return False
+        if dist <= self.ENCLOSE_RADIUS:
+            return True
+        cos_angle = float(d @ self._approach_axis(a.tcp_quaternion)) / dist
+        return cos_angle >= np.cos(np.deg2rad(self.APPROACH_CONE_DEG))
+
     def set_gripper(self, which: str, open_amount: float) -> None:
         a = self._arms[which]
         was_open = a.gripper_open >= 0.5
@@ -146,15 +175,14 @@ class KinematicBackend(SimBackend):
                 return  # fingers already shut: closing again cannot contain anything
             if any(o.grasped_by == which for o in self._objects.values()):
                 return  # already holding something; re-closing grabs nothing new
-            # closing transition: grab the nearest free object within grasp range
-            # (the kinematic stand-in for Robotiq finger-contact detection;
-            # robotiq85_gripper.grasp in the reference requires actuation + touch)
+            # closing transition: grab the nearest free object that is within
+            # range AND aligned with the approach axis (see _graspable)
             for o in sorted(self._objects.values(),
                             key=lambda o: np.linalg.norm(
                                 o.position - a.tcp_position)):
                 if o.static or o.grasped_by:
                     continue
-                if np.linalg.norm(o.position - a.tcp_position) < 0.06:
+                if self._graspable(a, o):
                     o.grasped_by = which
                     break
         else:
@@ -168,8 +196,18 @@ class KinematicBackend(SimBackend):
             if o.grasped_by == which:
                 o.position = a.tcp_position.copy()
 
+    # TCP separation below which the two arms are considered collided — a
+    # kinematic stand-in for arm-arm collision, which the dynamics-free backend
+    # otherwise cannot produce (CoppeliaSim reports real contacts). Sticky for
+    # the episode; reset_arms clears it.
+    ARM_MIN_SEPARATION = 0.025
+
     def step(self) -> None:
         self.time += 1
+        sep = float(np.linalg.norm(self._arms["right"].tcp_position
+                                   - self._arms["left"].tcp_position))
+        if sep < self.ARM_MIN_SEPARATION:
+            self.arm_collision = True
         # decay stopped-ness when no command arrives
         for a in self._arms.values():
             a.joint_velocity_norm *= 0.5

@@ -348,6 +348,14 @@ class BimanualTaskEnvironment(BimanualEnv):
         self.backend.step()
 
         self._step_count += 1
+        if getattr(self.backend, "arm_collision", False):
+            # arm-arm proximity is an episode-ending failure: the dynamics-free
+            # backend cannot push arms apart, so treating contact as terminal
+            # keeps success rates honest (CoppeliaSim would report a collision)
+            return Transition(
+                self._observation_dict(), 0.0, True,
+                info={"success": False, "arm_collision": True},
+            )
         success = self.task.success()
         timeout = self._step_count >= self._episode_length
         return Transition(
