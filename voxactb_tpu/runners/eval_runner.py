@@ -80,7 +80,12 @@ class EvalRunner:
         auto_crop: bool = False,
         eval_from_eps_number: int = 0,
         csv_name: str = "eval_data.csv",
+        selection_csv_name: Optional[str] = None,
     ):
+        """``selection_csv_name``: CSV used by checkpoint SELECTION when it
+        differs from the one being written — the reference's test pass selects
+        'best' from the validation eval_data.csv while writing test_data.csv
+        (peract/eval.py:144-199 + conf/eval.yaml)."""
         self._env = env
         self._agent = agent
         self._left_arm_agent = left_arm_agent
@@ -95,6 +100,8 @@ class EvalRunner:
         self._auto_crop = auto_crop
         self._eval_from = eval_from_eps_number
         self._csv_path = os.path.join(logdir, csv_name)
+        self._selection_csv_path = os.path.join(
+            logdir, selection_csv_name) if selection_csv_name else self._csv_path
         self._rollout = RolloutGenerator()
 
     def _eval_checkpoint(self, step: int) -> Dict[str, float]:
@@ -125,7 +132,8 @@ class EvalRunner:
         """Evaluate selected checkpoints; ``num_procs > 1`` fans one process out
         per checkpoint (peract/eval.py:242-261's Process-per-ckpt round-robin),
         keeping the skip-already-scored CSV contract — the parent writes rows."""
-        steps = select_checkpoints(self._weightsdir, eval_type, self._csv_path)
+        steps = select_checkpoints(self._weightsdir, eval_type,
+                                   self._selection_csv_path)
         if num_procs > 1 and len(steps) > 1:
             return self._start_parallel(steps, num_procs)
         self._agent.build(training=False)
