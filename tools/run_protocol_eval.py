@@ -23,6 +23,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# protocol runs are CPU jobs: the tiny model trains/evals faster on host than
+# through the relay tunnel, and they must NEVER contend with a TPU bench
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 TASKS = ["open_jar", "open_drawer", "put_item_in_drawer", "hand_over_item"]
 
 COMMON = [

@@ -73,8 +73,15 @@ def sort_points_by_row(coords, feats, coord_bounds, *, voxel_size: int,
     ii = idx - 1
     key = jnp.where(interior, ii[..., 0], n)  # row id; oob -> sentinel N
 
-    skey, order = jax.lax.sort_key_val(key, jnp.broadcast_to(
-        jnp.arange(p, dtype=jnp.int32)[None], (b, p)), dimension=1)
+    # pack (row, point-index) into one int32 so the sort moves a single array
+    # (stable by construction: the low bits keep original order within a row)
+    shift = 1
+    while (1 << shift) < p:
+        shift += 1
+    packed = jnp.sort((key << shift) | jnp.arange(p, dtype=jnp.int32)[None],
+                      axis=1)
+    skey = packed >> shift
+    order = packed & ((1 << shift) - 1)
     payload = jnp.concatenate(
         [coords, feats.astype(jnp.float32),
          ii[..., 1].astype(jnp.float32)[..., None],
