@@ -30,6 +30,9 @@ BATCH = 8
 # 14.5ms vs 20.6ms XLA; paired A/Bs win at every operating point (latency,
 # batch-8, 50^3 crop). Defaults ON in all bench configs.
 PALLAS_DECODER = os.environ.get("BENCH_PALLAS_DECODER", "1") == "1"
+# v3 inline-upsample tail (u0 never in HBM): wins on the bandwidth-starved
+# relay; flip default after the on-chip A/B proves it (tools/probe_decoder_ab)
+PALLAS_DECODER_V3 = os.environ.get("BENCH_PALLAS_DECODER_V3", "0") == "1"
 PALLAS_ENCODER = os.environ.get("BENCH_PALLAS_ENCODER", "1") == "1"
 # round-3 fully fused front (voxelize+preprocess+stats+patchify, one kernel)
 PALLAS_FRONT = os.environ.get("BENCH_PALLAS_FRONT", "1") == "1"
@@ -197,6 +200,7 @@ def time_dual_policy_chain(n_steps: int = 32):
     cfg = MethodConfig(voxel_sizes=[50], which_arm="right",
                        compute_dtype="bfloat16", zshift_conv3d=True,
                        pallas_decoder=PALLAS_DECODER,
+                       pallas_decoder_v3=PALLAS_DECODER_V3,
                        pallas_encoder=PALLAS_ENCODER,
                        pallas_front=PALLAS_FRONT)
     model = build_encoder(cfg)
@@ -253,10 +257,16 @@ def time_dual_policy_chain(n_steps: int = 32):
     return n_steps / sorted(walls)[len(walls) // 2]
 
 
-def time_vlm_pass(n_chain: int = 4):
+def time_vlm_pass(n_frames: int = 4):
     """BASELINE staged config #3: the episode-frequency VLM pass on chip —
     OWL-ViT-base detection (768^2) + SAM-B box-prompted segmentation (1024^2,
-    encoder + mask decoder), random weights (a perf number, vlm.py:144-194)."""
+    encoder + mask decoder), random weights (a perf number, vlm.py:144-194).
+
+    The three stages are jitted SEPARATELY and chained on host: one giant
+    scan-of-everything graph exceeds what the relay's AOT compiler finishes in
+    reasonable time, and the real pipeline runs once per episode with host
+    logic between stages anyway (vlm.py:144-194 moves detection boxes through
+    numpy/o3d before prompting SAM)."""
     import jax
     import jax.numpy as jnp
 
@@ -278,35 +288,42 @@ def time_vlm_pass(n_chain: int = 4):
     dec_params = jax.jit(dec.init)(
         jax.random.key(2), jnp.zeros((1, 64, 64, 256)), jnp.zeros((1, 4)))
 
-    imgs_owl = jnp.asarray(rng.normal(size=(n_chain, 1, 768, 768, 3))
+    @jax.jit
+    def detect(params, img, txt):
+        logits, boxes = det.apply(params, img, txt)
+        best = jnp.argmax(logits.reshape(-1))
+        box = boxes.reshape(-1, 4)[best]
+        return jnp.stack([box[0] - box[2] / 2, box[1] - box[3] / 2,
+                          box[0] + box[2] / 2, box[1] + box[3] / 2])
+
+    sam_encode = jax.jit(sam.apply)
+
+    @jax.jit
+    def segment(params, emb, box_xyxy):
+        masks, iou = dec.apply(params, emb, box_xyxy[None])
+        sel = jnp.argmax(iou[0])
+        return jnp.sum(masks[0, sel] > 0)
+
+    imgs_owl = jnp.asarray(rng.normal(size=(n_frames, 1, 768, 768, 3))
                            .astype(np.float32))
-    imgs_sam = jnp.asarray(rng.normal(size=(n_chain, 1, 1024, 1024, 3))
+    imgs_sam = jnp.asarray(rng.normal(size=(n_frames, 1, 1024, 1024, 3))
                            .astype(np.float32))
     txt = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
 
-    @jax.jit
-    def vlm_chain(imgs_owl, imgs_sam):
-        def step(c, xs):
-            io, im = xs
-            logits, boxes = det.apply(det_params, io, txt)
-            best = jnp.argmax(logits.reshape(-1))
-            box = boxes.reshape(-1, 4)[best]
-            box_xyxy = jnp.stack([box[0] - box[2] / 2, box[1] - box[3] / 2,
-                                  box[0] + box[2] / 2, box[1] + box[3] / 2])
-            emb = sam.apply(sam_params, im)
-            masks, iou = dec.apply(dec_params, emb, box_xyxy[None])
-            sel = jnp.argmax(iou[0])
-            return c, jnp.sum(masks[0, sel] > 0)
-        return jax.lax.scan(step, 0, (imgs_owl, imgs_sam))[1]
+    def frame(i):
+        box = detect(det_params, imgs_owl[i], txt)
+        emb = sam_encode(sam_params, imgs_sam[i])
+        return int(segment(dec_params, emb, box))
 
-    areas = np.asarray(vlm_chain(imgs_owl, imgs_sam))  # compile + warm
-    assert np.isfinite(areas.astype(np.float32)).all()
+    area = frame(0)  # compile + warm all three stages
+    assert area >= 0
     walls = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        areas = np.asarray(vlm_chain(imgs_owl, imgs_sam))
+        for i in range(n_frames):
+            frame(i)
         walls.append(time.perf_counter() - t0)
-    return sorted(walls)[len(walls) // 2] / n_chain * 1000.0  # ms per frame
+    return sorted(walls)[len(walls) // 2] / n_frames * 1000.0  # ms per frame
 
 
 def main():
@@ -325,6 +342,7 @@ def main():
     cfg_lat = MethodConfig(voxel_sizes=[100], which_arm="right",
                            compute_dtype="bfloat16", zshift_conv3d=True,
                            pallas_decoder=PALLAS_DECODER,
+                           pallas_decoder_v3=PALLAS_DECODER_V3,
                            pallas_encoder=PALLAS_ENCODER,
                            pallas_front=PALLAS_FRONT)
     # throughput mode: pallas kernels win at batch 8 too (27.3 vs 25.3 acts/s
@@ -332,6 +350,7 @@ def main():
     cfg_thr = MethodConfig(voxel_sizes=[100], which_arm="right",
                            compute_dtype="bfloat16", zshift_conv3d=True,
                            pallas_decoder=PALLAS_DECODER,
+                           pallas_decoder_v3=PALLAS_DECODER_V3,
                            pallas_encoder=PALLAS_ENCODER,
                            pallas_front=PALLAS_FRONT)
 
@@ -377,6 +396,7 @@ def main():
         cfg50 = MethodConfig(voxel_sizes=[50], which_arm="right",
                              compute_dtype="bfloat16", zshift_conv3d=True,
                              pallas_decoder=PALLAS_DECODER,
+                           pallas_decoder_v3=PALLAS_DECODER_V3,
                              pallas_encoder=PALLAS_ENCODER,
                              pallas_front=PALLAS_FRONT)
         c50, r50, p50 = build_chain(cfg50, batch=1)
@@ -437,6 +457,18 @@ def main():
             sol_b8_relay["sol_ms"] / 1e3 * batched_sps / 8.0, 3)
         out["batched8_ceiling_acts_per_s"] = round(
             8e3 / sol_b8_relay["sol_ms"], 1)
+        # per-stage relay ceilings at batch 8: the quantified proof of why
+        # batching cannot pay on a bandwidth-starved part — every major stage's
+        # ceiling is its memory term (bound=mem), so 8x the work is ~8x the time
+        out["batched8_stage_ceiling_ms"] = {
+            k: {"ms": round(max(
+                    cost_b8["flops_by_stage"][k] / relay_flops,
+                    cost_b8["bytes_by_stage"].get(k, 0.0) / relay_bw) * 1e3, 2),
+                "bound": ("mem" if cost_b8["bytes_by_stage"].get(k, 0.0)
+                          / relay_bw > cost_b8["flops_by_stage"][k]
+                          / relay_flops else "mxu")}
+            for k in cost_b8["flops_by_stage"]
+        }
     if train_sps is not None:
         out["train50_samples_per_s"] = round(float(train_sps), 2)
         step_s = 8.0 / train_sps

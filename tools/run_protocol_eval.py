@@ -23,11 +23,17 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# protocol runs are CPU jobs: the tiny model trains/evals faster on host than
-# through the relay tunnel, and they must NEVER contend with a TPU bench
+# default to CPU so protocol runs never contend with a TPU bench by accident;
+# --platform tpu opts in explicitly (on a 1-CPU host the chip is ~20x faster
+# for the training legs even through the relay)
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if "--platform" in sys.argv:
+    _plat = sys.argv[sys.argv.index("--platform") + 1]
+else:
+    _plat = "cpu"
+jax.config.update("jax_platforms", _plat)
+jax.config.update("jax_compilation_cache_dir", "/tmp/voxactb_jax_cache")
 
 TASKS = ["open_jar", "open_drawer", "put_item_in_drawer", "hand_over_item"]
 
@@ -117,6 +123,8 @@ def main():
     ap.add_argument("--episodes", type=int, default=25)
     ap.add_argument("--val-seed", type=int, default=43)
     ap.add_argument("--test-seed", type=int, default=88)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                    help="jax platform (tpu only when no bench is running)")
     ap.add_argument("--quick", action="store_true",
                     help="calibration mode: 1 task, few iters/episodes")
     args = ap.parse_args()

@@ -71,6 +71,7 @@ def build_encoder(cfg: MethodConfig, low_dim_size: Optional[int] = None
         pallas_stats=cfg.pallas_stats,
         zshift_conv3d=cfg.zshift_conv3d,
         pallas_decoder=cfg.pallas_decoder,
+        pallas_decoder_v3=cfg.pallas_decoder_v3,
         pallas_encoder=cfg.pallas_encoder,
         pallas_interpret=cfg.pallas_interpret,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,

@@ -97,6 +97,9 @@ class MethodConfig:
     pallas_stats: bool = False      # pallas fused softargmax+maxpool (TPU only)
     zshift_conv3d: bool = True      # stride-1 k3 convs as depth-shifted 2D convs
     pallas_decoder: bool = False    # fused decoder tail kernel (TPU inference)
+    pallas_decoder_v3: bool = False  # inline-upsample decoder tail: u0 never
+    # materializes in HBM; wins on bandwidth-starved parts (takes precedence
+    # over pallas_decoder when both are set and the config is eligible)
     pallas_encoder: bool = False    # fused preprocess+stats kernel (TPU inference)
     pallas_front: bool = False      # fully fused voxelize+preprocess+stats+patchify
     # kernel (TPU inference; subsumes pallas_encoder and skips the dense grid)

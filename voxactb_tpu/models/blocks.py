@@ -185,7 +185,11 @@ class Conv3DUpsample(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre_only: bool = False):
+        """``pre_only=True`` stops after ``conv_in`` and returns
+        ``(h, out_kernel, out_bias)`` — the inputs a fused decoder kernel needs
+        to synthesize upsampled rows itself (ops/pallas/decoder_head_v3.py).
+        The parameter tree is identical either way."""
         from voxactb_tpu.ops.upsample_conv import (
             reference_upsample_conv,
             upsample_conv,
@@ -203,6 +207,8 @@ class Conv3DUpsample(nn.Module):
             (self.kernel_size,) * 3 + (cin, self.features),
         )
         bias = self.param("out_bias", nn.initializers.zeros, (self.features,))
+        if pre_only:
+            return x, kernel, bias
         op = upsample_conv if self.fast else reference_upsample_conv
         y = op(x.astype(self.dtype), kernel.astype(self.dtype),
                bias.astype(self.dtype), self.strides)

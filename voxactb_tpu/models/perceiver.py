@@ -157,6 +157,9 @@ class PerceiverVoxelLangEncoder(nn.Module):
     zshift_conv3d: bool = True   # decompose big stride-1 convs into 2D convs
     pallas_decoder: bool = False  # fused final+trans+stats decoder tail (TPU,
     # inference only — training always takes the differentiable XLA ops)
+    pallas_decoder_v3: bool = False  # inline-upsample decoder tail: u0 never
+    # materializes in HBM (ops/pallas/decoder_head_v3.py). Wins on bandwidth-
+    # starved parts; the XLA-upsample + v1/v2 tail can win on physical HBM.
     pallas_encoder: bool = False  # fused preprocess-conv + stats front (TPU,
     # inference only)
     pallas_interpret: bool = False  # run pallas kernels in interpret mode (CPU tests)
@@ -312,30 +315,47 @@ class PerceiverVoxelLangEncoder(nn.Module):
         kp1, gmax1 = self._stats(grid)
         feats.extend([kp1, gmax1])
 
-        # upsample + skip connection + final conv (perceiver_lang_io.py:454-462)
-        u0 = Conv3DUpsample(
-            self.final_dim, self.voxel_patch_stride, self.voxel_patch_size,
-            self.activation, fast=self.fused_upsample, dtype=self.dtype,
-            name="up0",
-        )(grid)
-
-        final_conv = Conv3D(self.im_channels, 3, 1, self.activation,
-                            zshift_2d=self.zshift_conv3d, dtype=self.dtype, name="final")
-
-        # inference fast path: the whole decoder tail (skip-concat conv + lrelu +
-        # trans decoder(s) + soft-argmax stats) as ONE pallas kernel streaming
-        # d0/u0 through VMEM once (ops/pallas/decoder_head.py). Training and
+        # inference fast paths: the whole decoder tail (skip-concat conv +
+        # lrelu + trans decoder(s) + soft-argmax stats) as ONE pallas kernel.
+        # v3 additionally synthesizes the upsampled stream in-kernel from the
+        # post-conv_in slab, so u0 never materializes in HBM. Training and
         # ablation variants keep the differentiable XLA ops below.
-        use_fused_tail = (
-            self.pallas_decoder and not train and not self.is_initializing()
+        tail_ok = (
+            not train and not self.is_initializing()
             and not self.no_skip_connection and not self.no_perceiver
             and self.activation == "lrelu"
             and self.im_channels == self.final_dim  # kernel assumes equal halves
         )
+        use_fused_tail_v3 = (self.pallas_decoder_v3 and tail_ok
+                             and self.voxel_patch_stride == 5
+                             and self.voxel_patch_size == 5)
+        use_fused_tail = (self.pallas_decoder and tail_ok
+                          and not use_fused_tail_v3)
+
+        # upsample + skip connection + final conv (perceiver_lang_io.py:454-462)
+        up0 = Conv3DUpsample(
+            self.final_dim, self.voxel_patch_stride, self.voxel_patch_size,
+            self.activation, fast=self.fused_upsample, dtype=self.dtype,
+            name="up0",
+        )
+        if use_fused_tail_v3:
+            h_slab, up_kernel, up_bias = up0(grid, pre_only=True)
+            u0 = None
+        else:
+            u0 = up0(grid)
+
+        final_conv = Conv3D(self.im_channels, 3, 1, self.activation,
+                            zshift_2d=self.zshift_conv3d, dtype=self.dtype, name="final")
 
         out = {}
-        if use_fused_tail:
-            from voxactb_tpu.ops.pallas.decoder_head import decoder_head
+        if use_fused_tail or use_fused_tail_v3:
+            # v2 schedule is the default tail kernel: argmax-identical to v1 on
+            # chip and faster (tools/probe_decoder_ab.py); v1 stays as the
+            # reference implementation the test suite cross-checks against.
+            from voxactb_tpu.ops.pallas.decoder_head_v2 import (
+                decoder_head_v2 as decoder_head,
+            )
+            from voxactb_tpu.ops.pallas.decoder_head_v3 import decoder_head_v3
 
             dummy_cat = jnp.zeros(
                 (1, 1, 1, 1, self.im_channels + self.final_dim), self.dtype)
@@ -352,11 +372,19 @@ class PerceiverVoxelLangEncoder(nn.Module):
                     dummy_u, return_params=True)
                 wt.append(k_i)
                 bt.append(b_i)
-            trans_all, kp_u, gmax_u = decoder_head(
-                d0, u0, kf, jnp.asarray(bfb).reshape(-1),
-                jnp.stack(wt), jnp.concatenate(bt),
-                interpret=self.pallas_interpret,
-            )
+            if use_fused_tail_v3:
+                trans_all, kp_u, gmax_u = decoder_head_v3(
+                    d0, h_slab, jnp.asarray(up_kernel), jnp.asarray(up_bias),
+                    kf, jnp.asarray(bfb).reshape(-1),
+                    jnp.stack(wt), jnp.concatenate(bt),
+                    interpret=self.pallas_interpret,
+                )
+            else:
+                trans_all, kp_u, gmax_u = decoder_head(
+                    d0, u0, kf, jnp.asarray(bfb).reshape(-1),
+                    jnp.stack(wt), jnp.concatenate(bt),
+                    interpret=self.pallas_interpret,
+                )
             u = None
             fused_ustats = (kp_u, gmax_u)
         else:
@@ -389,7 +417,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
             # right + left heads off the shared trunk (perceiver_lang_io.py:828-858).
             # NOTE the reference computes ss_final per arm; we mirror that by calling
             # mlp_heads twice (each call makes its own ss_final params via name scope).
-            if use_fused_tail:
+            if use_fused_tail or use_fused_tail_v3:
                 out["trans_right"] = trans_all[..., 0:1]
                 out["trans_left"] = trans_all[..., 1:2]
             else:
@@ -402,7 +430,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
             _, out["rot_grip_right"], out["collision_right"] = mlp_heads("")
             _, out["rot_grip_left"], out["collision_left"] = mlp_heads("_left")
         else:
-            if use_fused_tail:
+            if use_fused_tail or use_fused_tail_v3:
                 out["trans"] = trans_all
             else:
                 out["trans"] = Conv3D(

@@ -12,11 +12,12 @@ over the materialized exp tensor for the stats. v2 removes all four:
   (outer-dim dy offsets are free; the dz index picks the slot) with the dx taps
   still folded into output columns — no z-stack buffer, no wide ``part``;
 - the trans conv similarly reads the u ring directly (three K=C dots);
-- the stats never materialize exp(...): the three weighted sums collapse into a
-  sublane reduction S = sum_w exp(.) and an outer reduction T = sum_h exp(.)
-  (pos_h varies only over h and pos_w only over w, so
-  sum_{h,w} e*pos_h = sum_h pos_h * S_h), recomputing the cheap exp twice
-  instead of writing + re-reading a [N, N', C] f32 tensor four times.
+- the stats materialize exp(...) once and take three broadcast-multiply
+  reductions straight to [C] (the same schedule ops/pallas/front_fused.py uses
+  on-chip) instead of four passes over a staged [N, N', C] f32 tensor. A
+  two-stage S = sum_w / T = sum_h factorization looked cheaper but its [N, C]
+  intermediates hit a Mosaic relayout limitation (replicated sublane layout ->
+  natural) on real TPU; the 3D reductions lower cleanly.
 
 Inference-only; bit-compatibility with v1 is asserted in tests/test_decoder_v2.py.
 """
@@ -60,7 +61,8 @@ def decoder_head_v2(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
 
     np8 = -(-(n + 2) // 8) * 8
     lin = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
-    pos_h = jnp.broadcast_to(lin[:, None], (n, cdim))  # [h, lanes] = lin[h]
+    pos_h = jnp.broadcast_to(lin[:, None, None], (n, 1, cdim))
+    pos_w = jnp.broadcast_to(lin[None, :, None], (1, n, cdim))
     pos_smem = lin.reshape(1, n)
     bt_row = jnp.zeros((1, cdim), jnp.float32).at[0, :t_heads].set(
         bt.astype(jnp.float32))
@@ -80,7 +82,7 @@ def decoder_head_v2(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
         grid=grid,
         in_specs=[
             row_spec(c), row_spec(c),
-            full(), full(), full(), full(), full(),
+            full(), full(), full(), full(), full(), full(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -106,14 +108,15 @@ def decoder_head_v2(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(d0.astype(dt), u0.astype(dt), wf2.astype(dt), bf_arr,
-      wt2.astype(dt), bt_row, pos_h, pos_smem)
+      wt2.astype(dt), bt_row, pos_h, pos_w, pos_smem)
 
     kp = jnp.transpose(kp3[:, :, :c], (0, 2, 1)).reshape(b, c * 3)
     return trans, kp, gmax[:, 0, :c]
 
 
 def _kernel_with_bias(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref,
-                      pos_h_ref, pos_smem_ref, trans_ref, kp_ref, gmax_ref,
+                      pos_h_ref, pos_w_ref, pos_smem_ref,
+                      trans_ref, kp_ref, gmax_ref,
                       cat_ring, u_ring, stats, *, n, c, t_heads, interpret):
     """_kernel but the u-conv bias is applied before the lrelu (matching v1)."""
     t = pl.program_id(1)
@@ -153,12 +156,10 @@ def _kernel_with_bias(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref,
         m_new = jnp.maximum(m_old, row_max)
         corr = jnp.exp((m_old - m_new) / TEMPERATURE)
         corr = jnp.where(jnp.isfinite(corr), corr, 0.0)
-        zz = (uf - m_new[None, None, :]) / TEMPERATURE
-        S = jnp.sum(jnp.exp(zz), axis=1)                      # [n(h), C]
-        T = jnp.sum(jnp.exp(zz), axis=0)                      # [n(w), C]
-        se = jnp.sum(S, axis=0)
-        wx = jnp.sum(S * pos_h_ref[0:n, 0:c], axis=0)
-        wz = jnp.sum(T * pos_h_ref[0:n, 0:c], axis=0)
+        e = jnp.exp((uf - m_new[None, None, :]) / TEMPERATURE)
+        se = jnp.sum(e, axis=(0, 1))
+        wx = jnp.sum(e * pos_h_ref[0:n, :, :c], axis=(0, 1))
+        wz = jnp.sum(e * pos_w_ref[:, 0:n, :c], axis=(0, 1))
         lin_d_i = pos_smem_ref[0, jnp.minimum(i, n - 1)]
         stats[0, :c] = m_new
         stats[1, :c] = stats[1, :c] * corr + se

@@ -1,0 +1,288 @@
+"""Fused decoder tail v3: inline phase-upsample — u0 never touches HBM.
+
+v2 (decoder_head_v2.py) streams d0 AND u0 from HBM (2x 128 MB at N=100) after a
+separate XLA upsample pass wrote u0 (another 128 MB). v3 deletes the u0 tensor
+entirely: the kernel consumes the tiny post-``conv_in`` slab h [B, s, s, s, C]
+(s = N/5, ~1 MB bf16) and reconstructs each u0 row on the fly with the SAME
+phase-decomposed trilinear-x5 + k5 composition the XLA path uses
+(ops/upsample_conv.py): output row z (phase rz = z%5, cell q = z//5) is
+
+    u0[z] = lrelu( sum_{dz,dy,dx} W8[dz,dy,dx, ci, rz,ry,rx, co]
+                   . h_pad[q+dz, qy+dy, qx+dx, ci]  + b )
+
+computed as ONE K=9C dot per (row, ry-block) — the 9 (dz, dy) taps concatenate
+on the contraction axis (full MXU depth), the (dx, rx, co) taps fold into output
+lane groups (dx combined by sublane rolls), and the stride-5 (qx, rx) -> X
+sublane interleave runs through ``_repeat5`` (broadcast+reshape elementwise
+repeat + phase masks). Everything downstream — skip-concat k3 conv, trans
+conv heads, online soft-argmax stats — is decoder_head_v2's schedule verbatim.
+
+Per-act HBM traffic this removes at N=100 vs the v2 path: u0 write (128 MB by
+XLA upsample) + u0 read (128 MB into the kernel), at the price of +265 GFLOP of
+in-kernel phase dots and a 27.6 MB resident phase-weight table. On a
+bandwidth-starved part (the ~66 GB/s relay chip) that trades ~3.9 ms of HBM for
+~1.5-3 ms of MXU; on physical HBM the XLA upsample path can win — keep both
+behind config flags and pick per platform.
+
+Reference: the decoder tail this fuses is perceiver_lang_io.py:454-477
+(up-conv + skip concat + trans head + SpatialSoftmax3D/maxpool features).
+Inference-only; parity vs the XLA oracle in tests/test_decoder_v3.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from voxactb_tpu.ops.upsample_conv import _phase_tap_matrix
+
+LRELU_SLOPE = 0.02
+TEMPERATURE = 0.01
+
+
+def _edge_pad_row(ref, slot, interior, n):
+    ref[slot, 1:n + 1, 1:n + 1, :] = interior
+    ref[slot, 1:n + 1, 0:1, :] = interior[:, 0:1, :]
+    ref[slot, 1:n + 1, n + 1:n + 2, :] = interior[:, n - 1:n, :]
+    ref[slot, 0:1, :, :] = ref[slot, 1:2, :, :]
+    ref[slot, n + 1:n + 2, :, :] = ref[slot, n:n + 1, :, :]
+
+
+def _phase_weight_table(up_kernel: jax.Array, scale: int) -> jax.Array:
+    """[5,5,5,C,C] learned upsample kernel -> [scale, 9C, 3*scale^2*C] table.
+
+    Row-major K axis (dz, dy, ci); lane axis (dx, ry, rx, co) with ry major so
+    the kernel can take per-ry column blocks. Same tap matrix as
+    ops/upsample_conv.compose_upsample_kernel, kept 8-D instead of flattened.
+    """
+    k = up_kernel.shape[0]
+    cin, cout = up_kernel.shape[3], up_kernel.shape[4]
+    T = jnp.asarray(_phase_tap_matrix(scale, k), up_kernel.dtype)
+    # w8[dz, dy, dx, ci, rz, ry, rx, co]
+    w8 = jnp.einsum("aud,bve,cwf,uvwio->defiabco", T, T, T, up_kernel)
+    # -> [rz, ry, dz, dy, ci, dx, rx, co]  (ry pulled out as the block axis)
+    w = jnp.transpose(w8, (4, 5, 0, 1, 3, 2, 6, 7))
+    return w.reshape(scale, scale, 9 * cin, 3 * scale * cout)
+
+
+def _repeat5(x, interpret: bool):
+    """Elementwise stride-5 sublane repeat: [s, X, c] -> [s, 5X, c]."""
+    if interpret:
+        return jnp.repeat(x, 5, axis=1)
+    s, xq, c = x.shape
+    v = jnp.broadcast_to(x[:, :, None, :], (s, xq, 5, c))
+    return v.reshape(s, xq * 5, c)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decoder_head_v3(d0: jax.Array, h: jax.Array, up_kernel: jax.Array,
+                    up_bias: jax.Array, wf: jax.Array, bf: jax.Array,
+                    wt: jax.Array, bt: jax.Array, *, interpret: bool = False):
+    """Decoder tail with inline phase-upsample.
+
+    Args:
+      d0: [B, N, N, N, C] preprocess-conv output (the skip stream), bf16.
+      h: [B, s, s, s, C] post-conv_in slab (s = N/5), the upsample input.
+      up_kernel: [5, 5, 5, C, C] learned out_kernel of Conv3DUpsample.
+      up_bias: [C] out_bias.
+      wf, bf: final k3 conv (cat 2C -> C); wt, bt: trans head(s) [T,3,3,3,C,1].
+
+    Returns (trans [B,N,N,N,T] f32, kp [B, 3C] f32, gmax [B, C] f32) — same
+    contract as decoder_head / decoder_head_v2.
+    """
+    b, n, _, _, c = d0.shape
+    s = n // 5
+    t_heads = wt.shape[0]
+    dt = d0.dtype
+    cdim = 128 if c <= 128 else c
+
+    wf2 = jnp.transpose(wf.reshape(3, 3, 3, 2 * c, c),
+                        (0, 1, 3, 2, 4)).reshape(3, 3, 2 * c, 3 * c)
+    wt2 = jnp.transpose(wt[..., 0], (1, 4, 2, 3, 0)).reshape(3, c, 9 * t_heads)
+    wp = _phase_weight_table(up_kernel, 5)          # [5, 5, 9C, 15C]
+
+    # edge-pad h on all three spatial axes (upsample_conv pads mode='edge');
+    # lane-pad x to a sublane multiple with zeros (never read by valid taps)
+    xh = -(-(s + 2) // 8) * 8
+    hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)), mode="edge")
+    hp = jnp.pad(hp, ((0, 0), (0, 0), (0, 0), (0, xh - (s + 2)), (0, 0)))
+
+    np8 = -(-(n + 2) // 8) * 8
+    lin = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
+    pos_h = jnp.broadcast_to(lin[:, None, None], (n, 1, cdim))
+    pos_w = jnp.broadcast_to(lin[None, :, None], (1, n, cdim))
+    pos_smem = lin.reshape(1, n)
+    bt_row = jnp.zeros((1, cdim), jnp.float32).at[0, :t_heads].set(
+        bt.astype(jnp.float32))
+    bf_arr = jnp.zeros((1, cdim), jnp.float32).at[0, :c].set(
+        bf.astype(jnp.float32))
+    upb_row = jnp.zeros((1, cdim), jnp.float32).at[0, :c].set(
+        up_bias.astype(jnp.float32))
+
+    grid = (b, n + 2)
+    row_spec = lambda ref_n: pl.BlockSpec(
+        (1, 1, n, n, ref_n),
+        lambda bb, tt: (bb, jnp.minimum(tt, n - 1), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hp_spec = pl.BlockSpec(
+        (1,) + hp.shape[1:], lambda bb, tt: (bb, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    trans, kp3, gmax = pl.pallas_call(
+        functools.partial(_kernel, n=n, s=s, c=c, t_heads=t_heads,
+                          interpret=interpret),
+        grid=grid,
+        in_specs=[
+            row_spec(c), hp_spec,
+            full(), full(), full(), full(), full(), full(), full(), full(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, n, n, t_heads),
+                         lambda bb, tt: (bb, jnp.maximum(tt - 2, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, cdim), lambda bb, tt: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cdim), lambda bb, tt: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, n, n, t_heads), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, cdim), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, cdim), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, n + 2, np8, 2 * c), dt),     # cat ring
+            pltpu.VMEM((3, n + 2, np8, c), dt),         # u ring
+            # f32: Mosaic's compiler crashes on strided outer stores of bf16
+            # (probed 2026-08-17); the f32 staging is cast once at ring insert
+            pltpu.VMEM((n, np8, c), jnp.float32),       # u0 row staging
+            pltpu.VMEM((s, xh, 3 * 5 * c), jnp.float32),  # phase-dot out (per ry)
+            pltpu.VMEM((5, cdim), jnp.float32),         # stats
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(d0.astype(dt), hp.astype(dt), wp.astype(dt), upb_row,
+      wf2.astype(dt), bf_arr, wt2.astype(dt), bt_row, pos_h, pos_w, pos_smem)
+
+    kp = jnp.transpose(kp3[:, :, :c], (0, 2, 1)).reshape(b, c * 3)
+    return trans, kp, gmax[:, 0, :c]
+
+
+def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
+            pos_h_ref, pos_w_ref, pos_smem_ref, trans_ref, kp_ref, gmax_ref,
+            cat_ring, u_ring, u0row, vscr, stats, *, n, s, c, t_heads,
+            interpret):
+    t = pl.program_id(1)
+    roll = jnp.roll if interpret else pltpu.roll
+    np8 = cat_ring.shape[2]
+    xh = vscr.shape[1]
+
+    @pl.when(t == 0)
+    def _init_stats():
+        stats[...] = jnp.zeros_like(stats)
+        stats[0, :] = jnp.full_like(stats[0, :], -jnp.inf)
+
+    # ---- synthesize row z_in = min(t, n-1): d0 row from HBM, u0 row from h ----
+    slot_in = jax.lax.rem(t, 3)
+    z_in = jnp.minimum(t, n - 1)
+    q = z_in // 5
+    rz = jax.lax.rem(z_in, 5)
+
+    # the 9 (dz, dy) taps concatenated on the K axis: [s, xh, 9C]
+    ht = jnp.concatenate(
+        [hp_ref[0, q + dz, pl.ds(dy, s), :, :]
+         for dz in range(3) for dy in range(3)], axis=-1)
+
+    colph = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 5 * xh, 1), 1), 5)
+    for ry in range(5):
+        # one K=9C dot: [s, xh, 9C] @ [9C, (dx, rx, co) = 15C] -> f32
+        vscr[...] = jax.lax.dot_general(
+            ht, wp_ref[rz, ry], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        a = vscr[:, :, 0:5 * c]
+        for dx in (1, 2):
+            a = a + roll(vscr[:, :, dx * 5 * c:(dx + 1) * 5 * c],
+                         xh - dx, axis=1)
+        # stride-5 (qx, rx) -> X interleave, then bias + lrelu
+        acc = jnp.zeros((s, 5 * xh, c), jnp.float32)
+        for rx in range(5):
+            rep = _repeat5(a[:, :, rx * c:(rx + 1) * c], interpret)
+            acc = acc + jnp.where(colph == rx, rep, 0.0)
+        u0p = acc[:, 0:np8, :] + upb_ref[0, :c]
+        u0i = jnp.where(u0p >= 0, u0p, u0p * LRELU_SLOPE)
+        # rows qy land at Y = 5*qy + ry (strided outer store)
+        u0row[ry::5, :, :] = u0i
+
+    interior = jnp.concatenate(
+        [d0_ref[0, 0], u0row[:, 0:n, :].astype(cat_ring.dtype)], axis=-1)
+    _edge_pad_row(cat_ring, slot_in, interior, n)
+
+    # ---- downstream = decoder_head_v2's schedule verbatim ----
+    @pl.when(jnp.logical_and(t >= 1, t <= n))
+    def _compute_u():
+        i = t - 1
+        part = jnp.zeros((n, np8, 3 * c), jnp.float32)
+        for dz in range(3):
+            slot = jax.lax.rem(jnp.maximum(i - 1 + dz, 0), 3)
+            for dy in range(3):
+                part = part + jax.lax.dot_general(
+                    cat_ring[slot, pl.ds(dy, n)], wf_ref[dz, dy],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        acc = part[:, :, 0:c]
+        for dx in (1, 2):
+            acc = acc + roll(part[:, :, dx * c:(dx + 1) * c], np8 - dx, axis=1)
+        acc = acc + bf_ref[0, :c]
+        u = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE).astype(cat_ring.dtype)
+        _edge_pad_row(u_ring, jax.lax.rem(i, 3), u[:, 0:n, :], n)
+
+        uf = u[:, 0:n, :].astype(jnp.float32)
+        row_max = jnp.max(uf, axis=(0, 1))
+        m_old = stats[0, :c]
+        m_new = jnp.maximum(m_old, row_max)
+        corr = jnp.exp((m_old - m_new) / TEMPERATURE)
+        corr = jnp.where(jnp.isfinite(corr), corr, 0.0)
+        e = jnp.exp((uf - m_new[None, None, :]) / TEMPERATURE)
+        se = jnp.sum(e, axis=(0, 1))
+        wx = jnp.sum(e * pos_h_ref[0:n, :, :c], axis=(0, 1))
+        wz = jnp.sum(e * pos_w_ref[:, 0:n, :c], axis=(0, 1))
+        lin_d_i = pos_smem_ref[0, jnp.minimum(i, n - 1)]
+        stats[0, :c] = m_new
+        stats[1, :c] = stats[1, :c] * corr + se
+        stats[2, :c] = stats[2, :c] * corr + wx
+        stats[3, :c] = stats[3, :c] * corr + lin_d_i * se
+        stats[4, :c] = stats[4, :c] * corr + wz
+
+    @pl.when(t >= 2)
+    def _compute_trans():
+        z = t - 2
+        v = jnp.zeros((n + 2, np8, 9 * t_heads), jnp.float32)
+        for dz in range(3):
+            slot = jax.lax.rem(jnp.clip(z - 1 + dz, 0, n - 1), 3)
+            v = v + jax.lax.dot_general(
+                u_ring[slot], wt_ref[dz],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc = jnp.zeros((n, np8, t_heads), jnp.float32)
+        for dx in range(3):
+            sh = v if dx == 0 else roll(v, np8 - dx, axis=1)
+            for dy in range(3):
+                g = (dy * 3 + dx) * t_heads
+                acc = acc + sh[dy:dy + n, :, g:g + t_heads]
+        trans_ref[0, 0] = acc[:, 0:n, :] + bt_ref[0, :t_heads]
+
+    @pl.when(t == n + 1)
+    def _emit_stats():
+        denom = stats[1, :c]
+        kp_ref[0, 0, :c] = stats[2, :c] / denom
+        kp_ref[0, 1, :c] = stats[3, :c] / denom
+        kp_ref[0, 2, :c] = stats[4, :c] / denom
+        gmax_ref[0, 0, :c] = stats[0, :c]
