@@ -6,12 +6,13 @@ test_data.csv artifacts per task (peract/eval.py:144-241, conf/eval.yaml).
 
 Run:  python tools/run_protocol_eval.py --out eval_artifacts [--quick]
 
-The model is a small-but-structured config (the judge-sanctioned scale for this
-1-CPU image): voxel 20^3 with the VoxAct-B VLM crop (radius 0.3 -> 3 cm voxels,
-the operating point where argmax precision can beat the 6 cm grasp radius),
-latents 64, depth 2. Training is real BC from scripted bimanual demos through
-the replay pipeline; eval runs the dominant_assistive rollout branch with the
-VLM crop and the stricter round-3 grasp model.
+The model is a small-but-structured config: voxel 50^3 with the VoxAct-B VLM
+crop (radius 0.3 -> 1.2 cm voxels — the reference operating point, and the
+precision the backend's 40-degree approach cone demands; see
+tools/oracle_protocol_check.py), latents 64, depth 2. Training is real BC from
+scripted bimanual demos through the replay pipeline; eval runs the
+dominant_assistive rollout branch with the VLM crop and the stricter round-3
+grasp model.
 """
 
 import argparse
@@ -41,8 +42,15 @@ COMMON = [
     "rlbench.demo_path=sim",
     'rlbench.cameras=["wrist","wrist2"]',
     "rlbench.camera_resolution=[32,32]",
-    "rlbench.episode_length=12",
-    "method.voxel_sizes=[20]",
+    # 25 steps (the reference's episode_length): strict assistive/dominant
+    # alternation skips turns once one arm's keyframes run out, so an episode
+    # needs ~2x the longest arm's keyframe count in slots
+    "rlbench.episode_length=25",
+    # voxel 50 IS the VoxAct-B operating point (50^3 crop at radius 0.3 ->
+    # 1.2 cm voxels). tools/oracle_protocol_check.py: discretized demo keyframes
+    # score 1.00 on all four benchmark tasks at 50, but 0.00 at 20 (3 cm voxels
+    # put discretized grasps outside the backend's 40-degree approach cone)
+    "method.voxel_sizes=[50]",
     "method.num_latents=64",
     "method.latent_dim=64",
     "method.transformer_depth=2",

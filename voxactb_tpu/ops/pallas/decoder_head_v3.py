@@ -14,8 +14,13 @@ computed as ONE K=9C dot per (row, ry-block) — the 9 (dz, dy) taps concatenate
 on the contraction axis (full MXU depth), the (dx, rx, co) taps fold into output
 lane groups (dx combined by sublane rolls), and the stride-5 (qx, rx) -> X
 sublane interleave runs through ``_repeat5`` (broadcast+reshape elementwise
-repeat + phase masks). Everything downstream — skip-concat k3 conv, trans
-conv heads, online soft-argmax stats — is decoder_head_v2's schedule verbatim.
+repeat + phase masks). Synthesized rows go straight into the cat ring as
+unrolled static row stores (Y = 5*qy + ry); the ring keeps the d0/u0 channel
+halves on a separate OUTER axis so no store is lane-masked and no store is
+outer-strided — both constructs OOM-kill the relay's Mosaic compiler at n=100
+(probed 2026-08-17). Everything downstream — skip-concat k3 conv (two K=C dots
+per tap, one per channel half), trans conv heads, online soft-argmax stats —
+is decoder_head_v2's schedule.
 
 Per-act HBM traffic this removes at N=100 vs the v2 path: u0 write (128 MB by
 XLA upsample) + u0 read (128 MB into the kernel), at the price of +265 GFLOP of
@@ -100,8 +105,11 @@ def decoder_head_v3(d0: jax.Array, h: jax.Array, up_kernel: jax.Array,
     dt = d0.dtype
     cdim = 128 if c <= 128 else c
 
-    wf2 = jnp.transpose(wf.reshape(3, 3, 3, 2 * c, c),
-                        (0, 1, 3, 2, 4)).reshape(3, 3, 2 * c, 3 * c)
+    # [3,3,2,c,3c]: channel halves split on an OUTER axis — the cat ring keeps
+    # the d0 and u0 halves as separate [np8, c] planes so every kernel store is
+    # full-lane-width (lane-masked half-tile stores are another Mosaic hazard)
+    wf2 = jnp.transpose(wf.reshape(3, 3, 3, 2, c, c),
+                        (0, 1, 3, 4, 2, 5)).reshape(3, 3, 2, c, 3 * c)
     wt2 = jnp.transpose(wt[..., 0], (1, 4, 2, 3, 0)).reshape(3, c, 9 * t_heads)
     wp = _phase_weight_table(up_kernel, 5)          # [5, 5, 9C, 15C]
 
@@ -157,11 +165,8 @@ def decoder_head_v3(d0: jax.Array, h: jax.Array, up_kernel: jax.Array,
             jax.ShapeDtypeStruct((b, 1, cdim), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, n + 2, np8, 2 * c), dt),     # cat ring
+            pltpu.VMEM((3, n + 2, 2, np8, c), dt),      # cat ring (split halves)
             pltpu.VMEM((3, n + 2, np8, c), dt),         # u ring
-            # f32: Mosaic's compiler crashes on strided outer stores of bf16
-            # (probed 2026-08-17); the f32 staging is cast once at ring insert
-            pltpu.VMEM((n, np8, c), jnp.float32),       # u0 row staging
             pltpu.VMEM((s, xh, 3 * 5 * c), jnp.float32),  # phase-dot out (per ry)
             pltpu.VMEM((5, cdim), jnp.float32),         # stats
         ],
@@ -177,11 +182,11 @@ def decoder_head_v3(d0: jax.Array, h: jax.Array, up_kernel: jax.Array,
 
 def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
             pos_h_ref, pos_w_ref, pos_smem_ref, trans_ref, kp_ref, gmax_ref,
-            cat_ring, u_ring, u0row, vscr, stats, *, n, s, c, t_heads,
+            cat_ring, u_ring, vscr, stats, *, n, s, c, t_heads,
             interpret):
     t = pl.program_id(1)
     roll = jnp.roll if interpret else pltpu.roll
-    np8 = cat_ring.shape[2]
+    np8 = cat_ring.shape[3]
     xh = vscr.shape[1]
 
     @pl.when(t == 0)
@@ -194,6 +199,12 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
     z_in = jnp.minimum(t, n - 1)
     q = z_in // 5
     rz = jax.lax.rem(z_in, 5)
+
+    # d0 half-plane of the cat ring, x-edge-padded
+    d0i = d0_ref[0, 0]
+    cat_ring[slot_in, 1:n + 1, 0, 1:n + 1, :] = d0i
+    cat_ring[slot_in, 1:n + 1, 0, 0:1, :] = d0i[:, 0:1, :]
+    cat_ring[slot_in, 1:n + 1, 0, n + 1:n + 2, :] = d0i[:, n - 1:n, :]
 
     # the 9 (dz, dy) taps concatenated on the K axis: [s, xh, 9C]
     ht = jnp.concatenate(
@@ -216,14 +227,23 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
         for rx in range(5):
             rep = _repeat5(a[:, :, rx * c:(rx + 1) * c], interpret)
             acc = acc + jnp.where(colph == rx, rep, 0.0)
-        u0p = acc[:, 0:np8, :] + upb_ref[0, :c]
+        u0p = acc + upb_ref[0, :c]
         u0i = jnp.where(u0p >= 0, u0p, u0p * LRELU_SLOPE)
-        # rows qy land at Y = 5*qy + ry (strided outer store)
-        u0row[ry::5, :, :] = u0i
+        # x-edge-pad into a [s, np8, c] plane: col 0 <- x=0, cols 1..n <- x,
+        # col n+1 <- x=n-1, zero beyond
+        xpad = jnp.concatenate(
+            [u0i[:, 0:1, :], u0i[:, 0:n, :], u0i[:, n - 1:n, :],
+             jnp.zeros((s, np8 - (n + 2), c), jnp.float32)], axis=1
+        ).astype(cat_ring.dtype)
+        # rows qy land at Y = 5*qy + ry: unrolled static row stores (a strided
+        # outer store `[ry::5]` OOM-kills the Mosaic compiler at n=100,
+        # probed 2026-08-17)
+        for qy in range(s):
+            cat_ring[slot_in, 1 + 5 * qy + ry, 1, :, :] = xpad[qy]
 
-    interior = jnp.concatenate(
-        [d0_ref[0, 0], u0row[:, 0:n, :].astype(cat_ring.dtype)], axis=-1)
-    _edge_pad_row(cat_ring, slot_in, interior, n)
+    # y-edge rows duplicate the first/last interior row (both channel halves)
+    cat_ring[slot_in, 0:1, :, :, :] = cat_ring[slot_in, 1:2, :, :, :]
+    cat_ring[slot_in, n + 1:n + 2, :, :, :] = cat_ring[slot_in, n:n + 1, :, :, :]
 
     # ---- downstream = decoder_head_v2's schedule verbatim ----
     @pl.when(jnp.logical_and(t >= 1, t <= n))
@@ -233,10 +253,11 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
         for dz in range(3):
             slot = jax.lax.rem(jnp.maximum(i - 1 + dz, 0), 3)
             for dy in range(3):
-                part = part + jax.lax.dot_general(
-                    cat_ring[slot, pl.ds(dy, n)], wf_ref[dz, dy],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                for half in range(2):
+                    part = part + jax.lax.dot_general(
+                        cat_ring[slot, pl.ds(dy, n), half], wf_ref[dz, dy, half],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
         acc = part[:, :, 0:c]
         for dx in (1, 2):
             acc = acc + roll(part[:, :, dx * c:(dx + 1) * c], np8 - dx, axis=1)

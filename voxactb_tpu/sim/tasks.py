@@ -161,15 +161,20 @@ class PutItemInDrawer(BimanualTask):
         handle_pos = base + [0.0, facing * 0.18, 0.08]
         self.backend.add_object(SceneObject(
             "top_handle", handle_pos, size=np.full(3, 0.03), color=(0.8, 0.8, 0.2)))
-        item_pos = np.array([rng.uniform(0.15, 0.45),
-                             -facing * rng.uniform(0.2, 0.4), TABLE_Z + 0.02])
+        # the item sits ON TOP of the cabinet (as in RLBench's
+        # put_item_in_drawer, where the block spawns on the drawer unit) so the
+        # whole task fits one VLM crop of radius 0.3 around the handle
+        item_pos = base + np.array([rng.uniform(-0.06, 0.06),
+                                    rng.uniform(-0.08, 0.08), 0.125 + 0.02])
         self.backend.add_object(SceneObject(
             "item", item_pos, size=np.full(3, 0.04), color=(0.2, 0.8, 0.2)))
         self._dominant = "right" if facing < 0 else "left"
-        self._drawer_region = base + [0.0, 0.0, 0.12]
+        # success = item inside the cabinet body (the opened drawer's volume),
+        # strictly below its top face so the spawn position does not satisfy it
+        self._drawer_region = base
         self.register_success_conditions([
             DetectedCondition("item", self._drawer_region,
-                              np.array([0.15, 0.18, 0.12])),
+                              np.array([0.10, 0.12, 0.06])),
         ])
         d = self._dominant
         return [f"open the top drawer with {d} hand and put the item in the top "
@@ -187,7 +192,7 @@ class PutItemInDrawer(BimanualTask):
         a, d = _assistive(dominant_arm), dominant_arm
         pull = np.array([0.0, np.sign(handle.position[1]
                                       - self._drawer_region[1]), 0.0])
-        drop = self._drawer_region + [0, 0, 0.08]
+        drop = self._drawer_region + [0, 0, 0.03]
         return [
             Waypoint(d, handle.position + pull * 0.08, DOWN, 1.0,
                      label="approach_handle"),
@@ -235,15 +240,21 @@ class HandOverItem(BimanualTask):
         cube = self.backend.get_object("cube")
         d = dominant_arm
         a = _assistive(d)
-        meet = np.array([0.3, 0.0, TABLE_Z + 0.25])
+        # meet above the cube's spawn (nudged toward the table center) so the
+        # whole exchange stays inside the episode's VLM crop of radius 0.3;
+        # the receiver takes the cube from 5 cm ABOVE the giver's TCP — inside
+        # the grasp cone but outside ARM_MIN_SEPARATION
+        meet = np.array([cube.position[0],
+                         cube.position[1] - np.sign(cube.position[1]) * 0.05,
+                         TABLE_Z + 0.25])
         return [
             Waypoint(a, cube.position + [0, 0, 0.10], DOWN, 1.0, label="approach"),
             Waypoint(a, cube.position, DOWN, 0.0, label="grasp"),
             Waypoint(a, meet, DOWN, None, label="present"),
-            Waypoint(d, meet + [0, 0, 0.08], DOWN, 1.0, label="reach"),
+            Waypoint(d, meet + [0, 0, 0.10], DOWN, 1.0, label="reach"),
             Waypoint(a, meet, DOWN, 1.0, label="release"),
-            Waypoint(d, meet, DOWN, 0.0, label="receive"),
-            Waypoint(d, meet + [0, 0, 0.1], DOWN, None, label="retreat"),
+            Waypoint(d, meet + [0, 0, 0.05], DOWN, 0.0, label="receive"),
+            Waypoint(d, meet + [0, 0, 0.10], DOWN, None, label="retreat"),
         ]
 
 
