@@ -33,7 +33,11 @@ if "--platform" in sys.argv:
     _plat = sys.argv[sys.argv.index("--platform") + 1]
 else:
     _plat = "cpu"
-jax.config.update("jax_platforms", _plat)
+if _plat == "cpu":
+    # 'tpu' must NOT be forced: the relay chip registers through its own
+    # plugin and jax_platforms='tpu' would try (and fail) to init libtpu —
+    # leaving the default lets jax pick the relay backend automatically
+    jax.config.update("jax_platforms", _plat)
 jax.config.update("jax_compilation_cache_dir", "/tmp/voxactb_jax_cache")
 
 TASKS = ["open_jar", "open_drawer", "put_item_in_drawer", "hand_over_item"]
