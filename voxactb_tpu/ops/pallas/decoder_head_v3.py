@@ -165,7 +165,8 @@ def decoder_head_v3(d0: jax.Array, h: jax.Array, up_kernel: jax.Array,
             jax.ShapeDtypeStruct((b, 1, cdim), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, n + 2, 2, np8, c), dt),      # cat ring (split halves)
+            pltpu.VMEM((3, n + 2, np8, c), dt),         # cat ring, d0 half
+            pltpu.VMEM((3, n + 2, np8, c), dt),         # cat ring, u0 half
             pltpu.VMEM((3, n + 2, np8, c), dt),         # u ring
             pltpu.VMEM((s, xh, 3 * 5 * c), jnp.float32),  # phase-dot out (per ry)
             pltpu.VMEM((5, cdim), jnp.float32),         # stats
@@ -182,11 +183,11 @@ def decoder_head_v3(d0: jax.Array, h: jax.Array, up_kernel: jax.Array,
 
 def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
             pos_h_ref, pos_w_ref, pos_smem_ref, trans_ref, kp_ref, gmax_ref,
-            cat_ring, u_ring, vscr, stats, *, n, s, c, t_heads,
+            cat_d0, cat_u0, u_ring, vscr, stats, *, n, s, c, t_heads,
             interpret):
     t = pl.program_id(1)
     roll = jnp.roll if interpret else pltpu.roll
-    np8 = cat_ring.shape[3]
+    np8 = cat_d0.shape[2]
     xh = vscr.shape[1]
 
     @pl.when(t == 0)
@@ -200,11 +201,11 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
     q = z_in // 5
     rz = jax.lax.rem(z_in, 5)
 
-    # d0 half-plane of the cat ring, x-edge-padded
+    # d0 half-ring plane, x-edge-padded
     d0i = d0_ref[0, 0]
-    cat_ring[slot_in, 1:n + 1, 0, 1:n + 1, :] = d0i
-    cat_ring[slot_in, 1:n + 1, 0, 0:1, :] = d0i[:, 0:1, :]
-    cat_ring[slot_in, 1:n + 1, 0, n + 1:n + 2, :] = d0i[:, n - 1:n, :]
+    cat_d0[slot_in, 1:n + 1, 1:n + 1, :] = d0i
+    cat_d0[slot_in, 1:n + 1, 0:1, :] = d0i[:, 0:1, :]
+    cat_d0[slot_in, 1:n + 1, n + 1:n + 2, :] = d0i[:, n - 1:n, :]
 
     # the 9 (dz, dy) taps concatenated on the K axis: [s, xh, 9C]
     ht = jnp.concatenate(
@@ -234,16 +235,17 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
         xpad = jnp.concatenate(
             [u0i[:, 0:1, :], u0i[:, 0:n, :], u0i[:, n - 1:n, :],
              jnp.zeros((s, np8 - (n + 2), c), jnp.float32)], axis=1
-        ).astype(cat_ring.dtype)
+        ).astype(cat_d0.dtype)
         # rows qy land at Y = 5*qy + ry: unrolled static row stores (a strided
         # outer store `[ry::5]` OOM-kills the Mosaic compiler at n=100,
         # probed 2026-08-17)
         for qy in range(s):
-            cat_ring[slot_in, 1 + 5 * qy + ry, 1, :, :] = xpad[qy]
+            cat_u0[slot_in, 1 + 5 * qy + ry, :, :] = xpad[qy]
 
-    # y-edge rows duplicate the first/last interior row (both channel halves)
-    cat_ring[slot_in, 0:1, :, :, :] = cat_ring[slot_in, 1:2, :, :, :]
-    cat_ring[slot_in, n + 1:n + 2, :, :, :] = cat_ring[slot_in, n:n + 1, :, :, :]
+    # y-edge rows duplicate the first/last interior row (both halves)
+    for ring in (cat_d0, cat_u0):
+        ring[slot_in, 0:1, :, :] = ring[slot_in, 1:2, :, :]
+        ring[slot_in, n + 1:n + 2, :, :] = ring[slot_in, n:n + 1, :, :]
 
     # ---- downstream = decoder_head_v2's schedule verbatim ----
     @pl.when(jnp.logical_and(t >= 1, t <= n))
@@ -253,16 +255,16 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
         for dz in range(3):
             slot = jax.lax.rem(jnp.maximum(i - 1 + dz, 0), 3)
             for dy in range(3):
-                for half in range(2):
+                for half, ring in enumerate((cat_d0, cat_u0)):
                     part = part + jax.lax.dot_general(
-                        cat_ring[slot, pl.ds(dy, n), half], wf_ref[dz, dy, half],
+                        ring[slot, pl.ds(dy, n)], wf_ref[dz, dy, half],
                         dimension_numbers=(((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
         acc = part[:, :, 0:c]
         for dx in (1, 2):
             acc = acc + roll(part[:, :, dx * c:(dx + 1) * c], np8 - dx, axis=1)
         acc = acc + bf_ref[0, :c]
-        u = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE).astype(cat_ring.dtype)
+        u = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE).astype(cat_d0.dtype)
         _edge_pad_row(u_ring, jax.lax.rem(i, 3), u[:, 0:n, :], n)
 
         uf = u[:, 0:n, :].astype(jnp.float32)
