@@ -64,6 +64,13 @@ COMMON = [
     "method.crop_target_obj_voxel=True",
     "method.crop_radius=0.3",
     "method.arm_pred_loss=True",
+    # SE(3) augmentation OFF for the small-model artifact: at this capacity
+    # (latents 64, depth 2) the +-0.125 m shifts keep trans CE at a ~7.4
+    # plateau and every rollout scores 0.0; without it the same budget reaches
+    # CE ~1 and 50% val success (calibrated 2026-08-17, open_jar, 6k iters).
+    # The full-scale model trains WITH aug like the reference
+    # (PERACT_BC.yaml transform_augmentation) — flip via --extra.
+    "method.apply_se3=False",
     "replay.batch_size=4",
 ]
 
@@ -137,9 +144,13 @@ def main():
     ap.add_argument("--test-seed", type=int, default=88)
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
                     help="jax platform (tpu only when no bench is running)")
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="extra dotted config overrides appended to COMMON "
+                         "(e.g. method.apply_se3=False)")
     ap.add_argument("--quick", action="store_true",
                     help="calibration mode: 1 task, few iters/episodes")
     args = ap.parse_args()
+    COMMON.extend(args.extra)
     if args.quick:
         args.tasks = args.tasks[:1]
         args.iters, args.save_freq = 300, 150
