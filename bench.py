@@ -121,9 +121,12 @@ def time_train_chain(batch: int, n_steps: int = 8):
     from voxactb_tpu.agents.qfunction import make_optimizer, make_train_step
     from voxactb_tpu.config import MethodConfig
 
+    # remat ON: trades +1x fwd FLOPs for dropping the saved-activation HBM
+    # traffic; measured A/B at this point (tools/profile_train.py, batch 8):
+    # 11.58 ms/step remat vs 17.34 without — the step is bandwidth-bound
     cfg = MethodConfig(voxel_sizes=[50], which_arm="dominant", arm_pred_loss=True,
                        crop_target_obj_voxel=True, crop_radius=0.3,
-                       compute_dtype="bfloat16", apply_se3=True)
+                       compute_dtype="bfloat16", apply_se3=True, remat=True)
     cameras = ["wrist", "wrist2"]
     optimizer = make_optimizer(cfg, training_iterations=100_000)
     _, init_fn, step_fn = make_train_step(cfg, optimizer, cameras)
@@ -427,9 +430,9 @@ def main():
     sol_b8_relay = speed_of_light(cost_b8, relay_flops, relay_bw)
 
     # train-step roofline (fwd+bwd+LAMB at the canonical 50^3 batch-8 point;
-    # remat is OFF in the bench train config — cfg.remat defaults False)
+    # remat is ON in the bench train config, matching time_train_chain's cfg)
     tcost = train_cost(n=50, batch=8,
-                       param_count=train_params or 35.7e6, remat=False)
+                       param_count=train_params or 35.7e6, remat=True)
     sol_train_relay = speed_of_light(tcost, relay_flops, relay_bw)
     sol_train_v5e = speed_of_light(tcost)
 

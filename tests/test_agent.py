@@ -155,3 +155,21 @@ def test_agent_memorizes_training_batch(rng):
     np.testing.assert_array_equal(pred, batch["trans_action_indicies"])
     rot_pred = np.asarray(res.rot_grip_idx)
     np.testing.assert_array_equal(rot_pred, batch["rot_grip_action_indicies"])
+
+
+def test_remat_train_step_runs_and_matches(rng):
+    """cfg.remat=True must produce the same loss as remat=False (rematerialization
+    changes scheduling, not math). Regression: jax.checkpoint used to receive
+    train=True as a traced kwarg and crash on the module's bool conversion."""
+    batch = synthetic_batch(rng, tiny_cfg())
+    losses = {}
+    for remat in (False, True):
+        cfg = tiny_cfg(remat=remat, apply_se3=False,
+                       input_dropout=0.0, attn_dropout=0.0)
+        agent = QAttentionBCAgent(cfg, CAMERAS, BOUNDS, batch_size=2,
+                                  training_iterations=100)
+        agent.build(training=True)
+        out = agent.update(0, dict(batch))
+        losses[remat] = float(np.asarray(out["total_loss"]))
+    assert np.isfinite(losses[True])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)

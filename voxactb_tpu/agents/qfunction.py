@@ -310,12 +310,17 @@ def make_train_step(cfg: MethodConfig, optimizer, camera_names: Sequence[str],
         feats = jnp.concatenate([r.reshape(b, -1, 3) for r in rgbs], 1)
         grid = voxelize(coords, feats, bounds, voxel_size=n)
 
-        apply = model.apply
+        def apply(p, g, low_dim, lang_emb, lang_toks, key):
+            # train/rngs are bound inside so jax.checkpoint sees only array
+            # args (a traced `train=` kwarg breaks the module's bool checks)
+            return model.apply(p, g, low_dim, lang_emb, lang_toks,
+                               train=True, rngs={"dropout": key})
+
         if cfg.remat:
-            apply = jax.checkpoint(apply, static_argnums=())
+            apply = jax.checkpoint(apply)
         out = apply(
             params, grid, batch["low_dim_state"], batch["lang_goal_emb"],
-            batch["lang_token_embs"], train=True, rngs={"dropout": rng_drop},
+            batch["lang_token_embs"], rng_drop,
         )
 
         collision_labels = batch["ignore_collisions"][:, 0].astype(jnp.int32)
