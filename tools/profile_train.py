@@ -79,15 +79,19 @@ def main():
                 compute_dtype="bfloat16")
 
     def timed(name, fn, *inputs, reps=5, per=1):
+        # every profiled fn returns a SCALAR probe; fetch it to host inside the
+        # timed region — on the axon relay block_until_ready returns before
+        # execution completes, so a non-fetching timer measures only dispatch
         cfn = jax.jit(fn)
         t0 = time.time()
-        out = jax.block_until_ready(cfn(*inputs))
+        out = np.asarray(jax.tree_util.tree_leaves(cfn(*inputs))[-1])
         compile_s = time.time() - t0
         walls = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(cfn(*inputs))
+            out = np.asarray(jax.tree_util.tree_leaves(cfn(*inputs))[-1])
             walls.append(time.perf_counter() - t0)
+        assert np.isfinite(out).all(), (name, out)
         ms = sorted(walls)[len(walls) // 2] / per * 1e3
         print(json.dumps({"stage": name, "per_step_ms": round(ms, 2),
                           "compile_s": round(compile_s, 1)}), flush=True)
@@ -103,7 +107,12 @@ def main():
                 return (st, metrics["total_loss"]), None
             keys = jax.random.split(key, n_steps)
             (state, loss), _ = jax.lax.scan(one, (state, 0.0), keys)
-            return state, loss
+            # pin the final state cheaply (first element of every param leaf)
+            # so fetching the scalar can't let XLA drop the last update; LAMB's
+            # per-leaf trust-ratio norms block slice-propagation of the rest
+            probe = sum(x.ravel()[0].astype(jnp.float32)
+                        for x in jax.tree_util.tree_leaves(state.params))
+            return loss + 0.0 * probe
         return chained
 
     # -- full step under flag A/Bs ------------------------------------------
