@@ -156,7 +156,13 @@ def main():
         args.iters, args.save_freq = 300, 150
         args.episodes = 3
 
+    # merge into an existing summary so a restart with --tasks <subset>
+    # keeps already-finished tasks' rows
+    summary_path = os.path.join(args.out, "summary.json")
     summary = {}
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            summary = json.load(f)
     for task in args.tasks:
         root = os.path.join(args.out, task)
         os.makedirs(root, exist_ok=True)
@@ -181,7 +187,7 @@ def main():
                      for r in test_rows],
             "acting_dir": acting_dir,
         }
-        with open(os.path.join(args.out, "summary.json"), "w") as f:
+        with open(summary_path, "w") as f:
             json.dump(summary, f, indent=1)
 
     print(json.dumps(summary, indent=1))

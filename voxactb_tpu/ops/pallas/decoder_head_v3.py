@@ -140,14 +140,21 @@ def decoder_head_v3(d0: jax.Array, h: jax.Array, up_kernel: jax.Array,
     hp_spec = pl.BlockSpec(
         (1,) + hp.shape[1:], lambda bb, tt: (bb, 0, 0, 0, 0),
         memory_space=pltpu.VMEM)
+    # only the rz = z_in%5 slice of the phase table is read per grid step —
+    # block it so VMEM holds one [5, 9C, 15C] slice (~5.6 MB), not the whole
+    # 28 MB table (the full-resident window tipped n=100 over the VMEM limit)
+    wp_spec = pl.BlockSpec(
+        (1,) + wp.shape[1:],
+        lambda bb, tt: (jax.lax.rem(jnp.minimum(tt, n - 1), 5), 0, 0, 0),
+        memory_space=pltpu.VMEM)
 
     trans, kp3, gmax = pl.pallas_call(
         functools.partial(_kernel, n=n, s=s, c=c, t_heads=t_heads,
                           interpret=interpret),
         grid=grid,
         in_specs=[
-            row_spec(c), hp_spec,
-            full(), full(), full(), full(), full(), full(), full(), full(),
+            row_spec(c), hp_spec, wp_spec,
+            full(), full(), full(), full(), full(), full(), full(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -199,7 +206,7 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
     slot_in = jax.lax.rem(t, 3)
     z_in = jnp.minimum(t, n - 1)
     q = z_in // 5
-    rz = jax.lax.rem(z_in, 5)
+    # (the rz = z_in%5 phase slice arrives via wp_spec's index map)
 
     # d0 half-ring plane, x-edge-padded
     d0i = d0_ref[0, 0]
@@ -217,7 +224,7 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
     for ry in range(5):
         # one K=9C dot: [s, xh, 9C] @ [9C, (dx, rx, co) = 15C] -> f32
         vscr[...] = jax.lax.dot_general(
-            ht, wp_ref[rz, ry], dimension_numbers=(((2,), (0,)), ((), ())),
+            ht, wp_ref[0, ry], dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         a = vscr[:, :, 0:5 * c]
         for dx in (1, 2):
