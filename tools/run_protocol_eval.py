@@ -79,6 +79,19 @@ def train_policy(task: str, arm: str, out_root: str, iters: int, demos: int,
                  save_freq: int) -> str:
     from voxactb_tpu.cli import train
 
+    # resume support: if a prior (interrupted) run already trained this policy
+    # to the final step, reuse it instead of retraining — the reference's
+    # train.py likewise exits when already trained past target
+    # (peract/train.py:67-73); the 'missing' eval sweep then skips any steps
+    # already present in eval_data.csv (peract/eval.py:148-152)
+    prior = os.path.join(out_root, f"train_{arm}", task, "PERACT_BC", "seed0")
+    final_w = os.path.join(prior, "weights", str(iters - 1))
+    if os.path.isdir(final_w) and any(
+            f.endswith(".msgpack") for f in os.listdir(final_w)):
+        print(f"[{task}/{arm}] already trained to {iters - 1} -> {prior} "
+              f"(skipping train)", flush=True)
+        return prior
+
     t0 = time.time()
     seed_dir = train.main(COMMON + [
         f"rlbench.task_name={task}", f'rlbench.tasks=["{task}"]',
