@@ -44,13 +44,15 @@ def trans_idx_to_euler(rot_idx, resolution):
     return np.asarray(rot_idx, np.float64) * resolution - 180.0
 
 
-def oracle_episode(env, voxel_size, rotation_resolution, crop_radius, ep):
+def oracle_episode(env, voxel_size, rotation_resolution, crop_radius, ep,
+                   no_duplicate=False):
     from voxactb_tpu.data.fill_replay import (
         discretize_keyframe,
         scene_bounds_from_crop_np,
     )
-    from voxactb_tpu.utils.keypoints import keypoint_discovery
+    from voxactb_tpu.utils.keypoints import KeypointConfig, keypoint_discovery
 
+    kcfg = KeypointConfig(no_duplicate=no_duplicate)
     frames, _ = env.get_demo(ep)
     dominant = env.dominant_arm()
     assistive = "left" if dominant == "right" else "right"
@@ -58,9 +60,11 @@ def oracle_episode(env, voxel_size, rotation_resolution, crop_radius, ep):
     # flips dominant_assistive_arm for the assistive policy)
     per_arm = {
         dominant: keypoint_discovery(frames, which_arm="dominant",
-                                     dominant_assistive_arm=dominant)[0],
+                                     dominant_assistive_arm=dominant,
+                                     cfg=kcfg)[0],
         assistive: keypoint_discovery(frames, which_arm="assistive",
-                                      dominant_assistive_arm=assistive)[0],
+                                      dominant_assistive_arm=assistive,
+                                      cfg=kcfg)[0],
     }
 
     env.reset_to_demo(ep)
@@ -109,6 +113,9 @@ def main():
     ap.add_argument("--rotation-resolution", type=int, default=5)
     ap.add_argument("--seed", type=int, default=43)
     ap.add_argument("--episode-length", type=int, default=12)
+    ap.add_argument("--no-duplicate", action="store_true",
+                    help="use the no-duplicate keyframe scanner "
+                         "(keypoint_discovery_no_duplicate)")
     args = ap.parse_args()
 
     from voxactb_tpu.sim.environment import BimanualTaskEnvironment
@@ -120,7 +127,8 @@ def main():
             TASK_REGISTRY[task], cameras=["wrist", "wrist2"], image_size=32,
             episode_length=args.episode_length, seed=args.seed)
         eps = [oracle_episode(env, args.voxel, args.rotation_resolution,
-                              args.crop_radius, i)
+                              args.crop_radius, i,
+                              no_duplicate=args.no_duplicate)
                for i in range(args.episodes)]
         rate = sum(e["success"] for e in eps) / len(eps)
         out[task] = {"success_rate": rate, "episodes": eps}

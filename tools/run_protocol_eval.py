@@ -71,6 +71,13 @@ COMMON = [
     # The full-scale model trains WITH aug like the reference
     # (PERACT_BC.yaml transform_augmentation) — flip via --extra.
     "method.apply_se3=False",
+    # the no-duplicate keyframe scanner (demo_loading_utils.py:228): without it
+    # the dominant-arm scanner emits 'arm idling at home' keyframes every
+    # stop-buffer window while the assistive arm works; the policy learns them
+    # faithfully and then wastes its alternation turns / locks its gripper
+    # closed at eval (diagnosed with tools/probe_policy_open_loop.py —
+    # open_drawer scored 0.0 with padding keyframes, oracle 1.00 either way)
+    "method.keypoint_discovery_no_duplicate=True",
     "replay.batch_size=4",
 ]
 

@@ -247,13 +247,27 @@ class HandOverItem(BimanualTask):
         meet = np.array([cube.position[0],
                          cube.position[1] - np.sign(cube.position[1]) * 0.05,
                          TABLE_Z + 0.25])
+        # The giver's release happens 1 cm above the presentation pose and the
+        # giver then withdraws sideways; the receiver descends in stages. Both
+        # choices are how a careful human handover demo looks, and both matter
+        # to the learning pipeline: (a) the 1 cm offset makes the release
+        # gripper-flip land on a MOVED pose, so the no-duplicate keyframe
+        # scanner (demo_loading_utils.py:274-289 skips stationary frames) still
+        # emits it; (b) the staged descent gives the receiver enough keyframes
+        # that, under the eval rollout's strict assistive/dominant alternation
+        # (rollout_generator.py:233-244), 'receive' executes only after
+        # 'present' and 'release' have had their turns.
+        withdraw = meet + np.array([0.0, np.sign(cube.position[1]) * 0.12, 0.0])
         return [
             Waypoint(a, cube.position + [0, 0, 0.10], DOWN, 1.0, label="approach"),
             Waypoint(a, cube.position, DOWN, 0.0, label="grasp"),
             Waypoint(a, meet, DOWN, None, label="present"),
-            Waypoint(d, meet + [0, 0, 0.10], DOWN, 1.0, label="reach"),
-            Waypoint(a, meet, DOWN, 1.0, label="release"),
+            Waypoint(d, meet + [0, 0, 0.14], DOWN, 1.0, label="reach"),
+            Waypoint(d, meet + [0, 0, 0.10], DOWN, 1.0, label="descend"),
+            Waypoint(d, meet + [0, 0, 0.07], DOWN, 1.0, label="align"),
+            Waypoint(a, meet + [0, 0, 0.01], DOWN, 1.0, label="release"),
             Waypoint(d, meet + [0, 0, 0.05], DOWN, 0.0, label="receive"),
+            Waypoint(a, withdraw, DOWN, None, label="withdraw"),
             Waypoint(d, meet + [0, 0, 0.10], DOWN, None, label="retreat"),
         ]
 

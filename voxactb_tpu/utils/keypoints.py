@@ -156,7 +156,10 @@ def keypoint_discovery(
             if cfg.no_duplicate and i != 0 and np.allclose(
                 getattr(obs, f"gripper_{a}_pose"), prev_pose[a], atol=1e-3
             ):
-                prev_open = {x: _arm_fields(obs, x)[0] for x in arms}
+                # reference parity (demo_loading_utils.py:274-279): the skip
+                # does NOT refresh prev_open, so a gripper flip at a stationary
+                # pose stays pending and is emitted at the arm's next movement
+                # (e.g. hand-over release-then-retreat)
                 continue
             if i != 0 and event(a):
                 keypoints.append(i)
