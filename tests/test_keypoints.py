@@ -97,6 +97,49 @@ def test_no_duplicate_skips_static_pose():
     assert 10 in kps2 and 19 in kps2
 
 
+def test_no_duplicate_pending_flip_emitted_at_next_movement():
+    """Reference parity (demo_loading_utils.py:274-289): a gripper flip at a
+    STATIONARY pose is not lost — prev_open stays stale through skipped frames,
+    so the flip registers as a keyframe when the arm next moves (the
+    hand-over release-then-withdraw pattern)."""
+    demo = moving_demo(20)
+    # left arm parked at pose P for frames 0..14, flips gripper at 10,
+    # then moves away over frames 15..19
+    for i in range(10, 20):
+        demo[i].gripper_left_open = 0.0
+    for i in range(15, 20):
+        demo[i].gripper_left_pose = np.full(7, float(i))
+    cfg = KeypointConfig(no_duplicate=True)
+    kps, labels = keypoint_discovery(
+        demo, which_arm="assistive", dominant_assistive_arm="left", cfg=cfg
+    )
+    # the flip surfaces at 15 (first moved frame), not 10, and not dropped
+    assert 15 in kps and 10 not in kps
+    assert all(l == 1 for l in labels)
+
+
+def test_no_duplicate_drops_idle_home_keyframes():
+    """The padding scanner emits 'arm idling at home' stopped-events every
+    stop-buffer window; no_duplicate must drop them all (the open_drawer 0.0
+    diagnosis, tools/probe_policy_open_loop.py)."""
+    demo = moving_demo(40)
+    # dominant right arm idles at home (zero velocity, unmoved pose) for
+    # frames 0..29, then moves 30..39
+    for i in range(0, 30):
+        demo[i].joint_velocities_right = np.zeros(7)
+    for i in range(30, 40):
+        demo[i].gripper_right_pose = np.full(7, float(i))
+    padded, _ = keypoint_discovery(
+        demo, which_arm="dominant", dominant_assistive_arm="right"
+    )
+    assert any(k < 30 for k in padded)  # the padding scanner does emit them
+    clean, _ = keypoint_discovery(
+        demo, which_arm="dominant", dominant_assistive_arm="right",
+        cfg=KeypointConfig(no_duplicate=True),
+    )
+    assert all(k >= 30 for k in clean) and clean  # nd drops every home kf
+
+
 def test_saved_every_last_inserted():
     demo = moving_demo(30)
     cfg = KeypointConfig(saved_every_last_inserted=10)
