@@ -19,7 +19,9 @@ Prints exactly one JSON line.
 
 import json
 import os
+import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -375,6 +377,7 @@ def main():
         try:
             train_sps, train_params = time_train_chain(batch=8)
         except Exception:
+            traceback.print_exc(file=sys.stderr)
             train_sps = None
 
     # BASELINE staged config #2: dual acting+stabilizing policies alternating
@@ -383,6 +386,7 @@ def main():
         try:
             dual_sps = time_dual_policy_chain()
         except Exception:
+            traceback.print_exc(file=sys.stderr)
             dual_sps = None
 
     # BASELINE staged config #3: episode-frequency VLM pass (OWL-ViT + SAM-B)
@@ -391,6 +395,7 @@ def main():
         try:
             vlm_ms = time_vlm_pass()
         except Exception:
+            traceback.print_exc(file=sys.stderr)
             vlm_ms = None
 
     # the VoxAct-B operating point: 50^3 VLM-cropped grid (launch_utils.py:341-347)
