@@ -14,10 +14,11 @@ computed as ONE K=9C dot per (row, ry-block) — the 9 (dz, dy) taps concatenate
 on the contraction axis (full MXU depth), the (dx, rx, co) taps fold into output
 lane groups (dx combined by sublane rolls), and the stride-5 (qx, rx) -> X
 sublane interleave runs through ``_repeat5`` (broadcast+reshape elementwise
-repeat + phase masks). Synthesized rows go straight into the cat ring as
-unrolled static row stores (Y = 5*qy + ry); the ring keeps the d0/u0 channel
-halves on a separate OUTER axis so no store is lane-masked and no store is
-outer-strided — both constructs OOM-kill the relay's Mosaic compiler at n=100
+repeat + phase masks). Synthesized rows interleave to Y = 5*qy + ry by an
+outer-axis concat + outer-dim merge and land in the cat ring as ONE full-plane
+store per grid step; the ring keeps the d0/u0 channel halves in separate
+rank-4 scratches so no store is lane-masked, outer-strided, or per-row
+unrolled — all three constructs killed the relay's Mosaic compiler at n=100
 (probed 2026-08-17). Everything downstream — skip-concat k3 conv (two K=C dots
 per tap, one per channel half), trans conv heads, online soft-argmax stats —
 is decoder_head_v2's schedule.
@@ -221,6 +222,7 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
 
     colph = jax.lax.rem(
         jax.lax.broadcasted_iota(jnp.int32, (1, 5 * xh, 1), 1), 5)
+    rows = []
     for ry in range(5):
         # one K=9C dot: [s, xh, 9C] @ [9C, (dx, rx, co) = 15C] -> f32
         vscr[...] = jax.lax.dot_general(
@@ -239,15 +241,18 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
         u0i = jnp.where(u0p >= 0, u0p, u0p * LRELU_SLOPE)
         # x-edge-pad into a [s, np8, c] plane: col 0 <- x=0, cols 1..n <- x,
         # col n+1 <- x=n-1, zero beyond
-        xpad = jnp.concatenate(
+        rows.append(jnp.concatenate(
             [u0i[:, 0:1, :], u0i[:, 0:n, :], u0i[:, n - 1:n, :],
              jnp.zeros((s, np8 - (n + 2), c), jnp.float32)], axis=1
-        ).astype(cat_d0.dtype)
-        # rows qy land at Y = 5*qy + ry: unrolled static row stores (a strided
-        # outer store `[ry::5]` OOM-kills the Mosaic compiler at n=100,
-        # probed 2026-08-17)
-        for qy in range(s):
-            cat_u0[slot_in, 1 + 5 * qy + ry, :, :] = xpad[qy]
+        ).astype(cat_d0.dtype)[:, None])
+    # rows qy land at Y = 5*qy + ry: interleave as an OUTER-axis concat +
+    # outer-dim merge ([s, 5, np8, c] -> [n, np8, c]) and store the whole
+    # plane once — both a strided outer store `[ry::5]` and 100 unrolled
+    # static row stores blow up the relay's Mosaic compiler at n=100
+    # (SIGKILL-OOM / exit 1, probed 2026-08-17); this block store has the
+    # same shape as the d0-half store above, which compiles fine
+    cat_u0[slot_in, 1:n + 1, :, :] = jnp.concatenate(
+        rows, axis=1).reshape(n, np8, cat_u0.shape[3])
 
     # y-edge rows duplicate the first/last interior row (both halves)
     for ring in (cat_d0, cat_u0):
