@@ -331,6 +331,33 @@ def time_vlm_pass(n_frames: int = 4):
     return sorted(walls)[len(walls) // 2] / n_frames * 1000.0  # ms per frame
 
 
+def time_sam_h(n_frames: int = 2):
+    """BASELINE staged config #3 at the reference's tower size: SAM ViT-H
+    encoder (632M params) at 1024^2, bf16, random weights — the heavy half of
+    the per-episode VLM pass (vlm.py:109 loads sam_vit_h). Reported separately
+    from time_vlm_pass (which uses ViT-B) because the relay's remote compiler
+    may refuse programs this large (HTTP 500) — a tolerated, visible failure."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxactb_tpu.models.sam_encoder import sam_vit_h
+
+    sam = sam_vit_h(dtype=jnp.bfloat16)
+    params = jax.jit(sam.init)(jax.random.key(0), jnp.zeros((1, 1024, 1024, 3)))
+    f = jax.jit(sam.apply)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(n_frames, 1, 1024, 1024, 3))
+                       .astype(np.float32))
+    np.asarray(f(params, imgs[0]))  # compile + warm
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            np.asarray(f(params, imgs[i]))
+        walls.append(time.perf_counter() - t0)
+    return sorted(walls)[len(walls) // 2] / n_frames * 1000.0
+
+
 def main():
     import jax
 
@@ -397,6 +424,15 @@ def main():
         except Exception:
             traceback.print_exc(file=sys.stderr)
             vlm_ms = None
+
+    sam_h_ms = None
+    if os.environ.get("BENCH_SKIP_SAMH") != "1" \
+            and os.environ.get("BENCH_SKIP_VLM") != "1":
+        try:
+            sam_h_ms = time_sam_h()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            sam_h_ms = None
 
     # the VoxAct-B operating point: 50^3 VLM-cropped grid (launch_utils.py:341-347)
     crop50_sps = None
@@ -492,6 +528,8 @@ def main():
         out["dual50_acts_per_s"] = round(float(dual_sps), 2)
     if vlm_ms is not None:
         out["vlm_ms_per_frame"] = round(float(vlm_ms), 2)
+    if sam_h_ms is not None:
+        out["sam_h_ms_per_frame"] = round(float(sam_h_ms), 2)
     if crop50_sps is not None:
         out["crop50_steps_per_s"] = round(float(crop50_sps), 2)
         out["crop50_latency_ms"] = round(1000.0 / crop50_sps, 2)
