@@ -452,7 +452,6 @@ def main():
     # minimal HBM bytes of the act program vs measured relay ceilings
     # (tools/roofline.py: ~66 GB/s HBM, ~180 TFLOP/s marginal matmul) and
     # physical v5e specs (819 GB/s, 197 TFLOP/s bf16)
-    import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
     from cost_model import act_cost, speed_of_light, train_cost
 

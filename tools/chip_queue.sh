@@ -48,6 +48,7 @@ PYEOF
 )
 echo "[chipq] v3 bench flag -> $V3" | tee -a "$LOGDIR/status"
 
+run front_probe 2400 python tools/probe_front_batch.py
 run remat_ab 2400 python tools/profile_train.py --steps 8
 run vlm_probe 2400 python -c "import bench; print('vlm_ms:', bench.time_vlm_pass()); print('sam_h_ms:', bench.time_sam_h())"
 run bench_full 5400 env BENCH_PALLAS_DECODER_V3="$V3" python bench.py
