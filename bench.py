@@ -44,13 +44,8 @@ def build_chain(cfg, batch, params=None):
     import jax
     import jax.numpy as jnp
 
-    from voxactb_tpu.agents.qfunction import (
-        build_encoder,
-        front_eligible,
-        fused_front_inputs,
-    )
+    from voxactb_tpu.agents.qfunction import apply_with_front, build_encoder
     from voxactb_tpu.ops import geometry as G
-    from voxactb_tpu.ops.voxelize import voxelize
 
     model = build_encoder(cfg)
     n = cfg.voxel_size
@@ -76,14 +71,8 @@ def build_chain(cfg, batch, params=None):
         rgb, pcd = obs
         coords = pcd.reshape(batch, -1, 3)
         feats = ((rgb / 255.0) * 2.0 - 1.0).reshape(batch, -1, 3)
-        if front_eligible(cfg):
-            front = fused_front_inputs(cfg, params, coords, feats, bounds)
-            grid = jnp.zeros((batch, 1, 1, 1, 10), jnp.float32)
-            out = model.apply(params, grid, proprio, lang_goal, lang_tok,
-                              front=front)
-        else:
-            grid = voxelize(coords, feats, bounds, voxel_size=n)
-            out = model.apply(params, grid, proprio, lang_goal, lang_tok)
+        out, _ = apply_with_front(cfg, model, params, coords, feats, bounds,
+                                  proprio, lang_goal, lang_tok)
         flat = jnp.argmax(out["trans"].reshape(batch, -1), -1).astype(jnp.int32)
         idx = jnp.stack([flat // (n * n), (flat // n) % n, flat % n], -1)
         att = G.attention_coordinate(idx, n, bounds)
@@ -197,10 +186,8 @@ def time_dual_policy_chain(n_steps: int = 32):
     import jax
     import jax.numpy as jnp
 
-    from voxactb_tpu.agents.qfunction import (
-        build_encoder, front_eligible, fused_front_inputs)
+    from voxactb_tpu.agents.qfunction import apply_with_front, build_encoder
     from voxactb_tpu.config import MethodConfig
-    from voxactb_tpu.ops.voxelize import voxelize
 
     cfg = MethodConfig(voxel_sizes=[50], which_arm="right",
                        compute_dtype="bfloat16", zshift_conv3d=True,
@@ -237,14 +224,8 @@ def time_dual_policy_chain(n_steps: int = 32):
                                                    keepdims=False), stacked)
         coords = pcd.reshape(1, -1, 3)
         feats = ((rgb / 255.0) * 2.0 - 1.0).reshape(1, -1, 3)
-        if front_eligible(cfg):
-            front = fused_front_inputs(cfg, params, coords, feats, bounds)
-            grid = jnp.zeros((1, 1, 1, 1, 10), jnp.float32)
-            out = model.apply(params, grid, proprio, lang_goal, lang_tok,
-                              front=front)
-        else:
-            grid = voxelize(coords, feats, bounds, voxel_size=n)
-            out = model.apply(params, grid, proprio, lang_goal, lang_tok)
+        out, _ = apply_with_front(cfg, model, params, coords, feats, bounds,
+                                  proprio, lang_goal, lang_tok)
         act = jnp.argmax(out["trans"].reshape(1, -1), -1).astype(jnp.float32)
         return step + 1, act
 

@@ -117,8 +117,10 @@ def act_cost(n: int = 100, batch: int = 1, img: int = 128, cams: int = 2,
         "bytes": act_by + weight_bytes,
         "activation_bytes": act_by,
         "weight_bytes": float(weight_bytes),
-        "flops_by_stage": fl,
-        "bytes_by_stage": by,
+        # per-stage numbers are per STEP at this batch (activation traffic
+        # scales with batch; the shared weight fetch stays in weight_bytes)
+        "flops_by_stage": {k: v * batch for k, v in fl.items()},
+        "bytes_by_stage": {k: v * batch for k, v in by.items()},
     }
 
 

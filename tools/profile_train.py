@@ -234,7 +234,13 @@ def main():
             return st, None
         keys = jax.random.split(key, args.steps)
         st, _ = jax.lax.scan(one, state, keys)
-        return st.step
+        # pin params + opt_state: returning only st.step lets XLA dead-code
+        # the whole LAMB update out of the scan (measured: 0.02 ms vs the real
+        # cost) — same probe trick as chained_step above
+        probe = sum(x.ravel()[0].astype(jnp.float32)
+                    for x in jax.tree_util.tree_leaves((st.params,
+                                                        st.opt_state)))
+        return st.step.astype(jnp.float32) + 0.0 * probe
     ms, _ = timed("opt_only", opt_only, state0, jax.random.key(1),
                   per=args.steps)
     results["opt_only"] = round(ms, 2)

@@ -110,6 +110,29 @@ def fused_front_inputs(cfg: MethodConfig, params, coords, feats, bounds):
     return d0, ins, kp, gmax
 
 
+def apply_with_front(cfg: MethodConfig, model, params, coords, feats, bounds,
+                     proprio, lang_goal_emb, lang_token_embs):
+    """Q-forward dispatch shared by the agent and every bench/probe program.
+
+    With the fused front the dense voxel grid is never materialized and the
+    returned ``grid`` is a [B,1,1,1,10] placeholder (it only feeds
+    visualization — use ``pallas_front=False`` when rendering voxel grids);
+    otherwise the XLA voxelize path materializes and returns the real grid.
+    Returns ``(out, grid)``.
+    """
+    b = coords.shape[0]
+    if front_eligible(cfg):
+        front = fused_front_inputs(cfg, params, coords, feats, bounds)
+        grid = jnp.zeros((b, 1, 1, 1, 10), jnp.float32)
+        out = model.apply(params, grid, proprio, lang_goal_emb,
+                          lang_token_embs, front=front)
+    else:
+        grid = voxelize(coords, feats, bounds, voxel_size=cfg.voxel_size)
+        out = model.apply(params, grid, proprio, lang_goal_emb,
+                          lang_token_embs)
+    return out, grid
+
+
 def _flat_argmax_3d(q_trans: jax.Array) -> jax.Array:
     """[B,N,N,N,1] -> [B,3] int32 argmax voxel index (QFunction._argmax_3d :57-63)."""
     b = q_trans.shape[0]
@@ -160,19 +183,8 @@ def make_infer_fn(cfg: MethodConfig, low_dim_size: Optional[int] = None):
         feats = jnp.concatenate(
             [normalize_rgb(r).reshape(b, -1, 3) for r in rgbs], 1
         )
-        if front_eligible(cfg):
-            # fully fused front: the dense voxel grid is never materialized;
-            # InferOutput.voxel_grid becomes a [B,1,1,1,10] placeholder (it only
-            # feeds visualization info — use pallas_front=False when rendering
-            # voxel grids).
-            front = fused_front_inputs(cfg, params, coords, feats, bounds)
-            grid = jnp.zeros((b, 1, 1, 1, 10), jnp.float32)
-            out = model.apply(params, grid, proprio, lang_goal_emb,
-                              lang_token_embs, front=front)
-        else:
-            grid = voxelize(coords, feats, bounds, voxel_size=n)
-            out = model.apply(params, grid, proprio, lang_goal_emb,
-                              lang_token_embs)
+        out, grid = apply_with_front(cfg, model, params, coords, feats, bounds,
+                                     proprio, lang_goal_emb, lang_token_embs)
 
         def decode(trans, rot_grip, collision):
             t_idx = _flat_argmax_3d(trans)

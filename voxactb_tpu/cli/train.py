@@ -232,11 +232,14 @@ def _train_one(cfg, demos=None, lang_encoder=None):
     try:
         runner.start()
     finally:
-        # stop the C++ producer threads BEFORE closing the mmap store they
-        # sample from, then the host prefetch thread, then the store itself
+        # teardown order: (1) the host prefetch thread — it is the only
+        # bs_acquire caller, and bs_stop deletes the C++ Sampler, so the
+        # consumer must be joined first (producers are still filling the ring
+        # at this point, so a blocked acquire always wakes); (2) the C++
+        # producer threads; (3) the mmap store they sample from
+        dataset.close()
         if native_feed is not None:
             native_feed.close()
-        dataset.close()
         if isinstance(replay, NativeReplayBuffer):
             replay.flush()
             replay.close()

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from voxactb_tpu.models.torch_port import make_port_helpers
+
 
 class Bottleneck(nn.Module):
     planes: int
@@ -146,10 +148,7 @@ def load_torch_clip_image_weights(state_dict, prefix: str = "visual.") -> dict:
     the ``batch_stats`` collection so eval-mode forwards reproduce the torch tower.
     """
 
-    def a(key):
-        v = state_dict[prefix + key]
-        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
-                          np.float32)
+    a = make_port_helpers(state_dict, prefix)[0]
 
     def conv(key):  # torch [out, in, kh, kw] -> flax [kh, kw, in, out]
         return {"kernel": a(key + ".weight").transpose(2, 3, 1, 0)}

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from voxactb_tpu.models.torch_port import make_port_helpers
+
 CONTEXT_LENGTH = 77
 VOCAB_SIZE = 49408
 
@@ -109,10 +111,7 @@ def load_torch_clip_weights(state_dict) -> dict:
     (``transformer.resblocks.N.attn.in_proj_weight`` etc.).
     """
 
-    def a(key):
-        v = state_dict[key]
-        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
-                          np.float32)
+    a = make_port_helpers(state_dict)[0]
 
     params = {
         "token_embedding": a("token_embedding.weight"),

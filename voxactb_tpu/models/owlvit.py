@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from voxactb_tpu.models.torch_port import make_port_helpers
+
 from voxactb_tpu.models.clip_text import ClipTextEncoder, quick_gelu
 
 
@@ -160,16 +162,7 @@ def load_hf_owlvit_weights(state_dict):
     """
     import numpy as np
 
-    def a(key):
-        v = state_dict[key]
-        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
-                          np.float32)
-
-    def dense(key):
-        return {"kernel": a(key + ".weight").T, "bias": a(key + ".bias")}
-
-    def ln(key):
-        return {"scale": a(key + ".weight"), "bias": a(key + ".bias")}
+    a, dense, ln, _, _ = make_port_helpers(state_dict)
 
     def vit_blocks(prefix, names):
         """Shared CLIP-style encoder-layer mapping (vision 'block_i'/text 'resblock_i')."""

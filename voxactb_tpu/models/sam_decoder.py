@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from voxactb_tpu.models.torch_port import make_port_helpers
+
 
 class RandomFourierPE(nn.Module):
     """SAM's PositionEmbeddingRandom: coords in [0,1]^2 -> [2*feats] features."""
@@ -212,20 +214,7 @@ def load_hf_sam_decoder_weights(state_dict) -> dict:
     design with ONE pe layer, loaded from the prompt encoder's copy.
     """
 
-    def a(key):
-        v = state_dict[key]
-        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
-                          np.float32)
-
-    def dense(key):
-        return {"kernel": a(key + ".weight").T, "bias": a(key + ".bias")}
-
-    def ln(key):
-        return {"scale": a(key + ".weight"), "bias": a(key + ".bias")}
-
-    def sam_attn(key):
-        return {"q": dense(key + ".q_proj"), "k": dense(key + ".k_proj"),
-                "v": dense(key + ".v_proj"), "out": dense(key + ".out_proj")}
+    a, dense, ln, sam_attn, conv_t = make_port_helpers(state_dict)
 
     def feed_forward(key, layers=3):
         out = {"Dense_0": dense(key + ".proj_in")}
@@ -233,14 +222,6 @@ def load_hf_sam_decoder_weights(state_dict) -> dict:
             out[f"Dense_{i + 1}"] = dense(f"{key}.layers.{i}")
         out[f"Dense_{layers - 1}"] = dense(key + ".proj_out")
         return out
-
-    def conv_t(key):
-        # torch ConvTranspose2d [in, out, kh, kw] -> flax [kh, kw, in, out].
-        # flax's ConvTranspose (lax.conv_transpose, transpose_kernel=False) uses the
-        # kernel in forward-conv orientation, so torch's kernel must be spatially
-        # flipped (verified numerically in tests/test_hf_tower_parity.py).
-        w = a(key + ".weight").transpose(2, 3, 0, 1)[::-1, ::-1]
-        return {"kernel": np.ascontiguousarray(w), "bias": a(key + ".bias")}
 
     md = "mask_decoder."
     params = {
@@ -289,27 +270,10 @@ def load_torch_sam_decoder_weights(state_dict) -> dict:
     :class:`SamMaskDecoder` — the companion of ``load_torch_sam_weights`` so a
     single sam_vit_*.pth loads the whole segmentation path."""
 
-    def a(key):
-        v = state_dict[key]
-        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
-                          np.float32)
-
-    def dense(key):
-        return {"kernel": a(key + ".weight").T, "bias": a(key + ".bias")}
-
-    def ln(key):
-        return {"scale": a(key + ".weight"), "bias": a(key + ".bias")}
-
-    def sam_attn(key):
-        return {"q": dense(key + ".q_proj"), "k": dense(key + ".k_proj"),
-                "v": dense(key + ".v_proj"), "out": dense(key + ".out_proj")}
+    a, dense, ln, sam_attn, conv_t = make_port_helpers(state_dict)
 
     def mlp3(key):  # facebook SamFeedForward equivalent: MLP with layers.0..2
         return {f"Dense_{i}": dense(f"{key}.layers.{i}") for i in range(3)}
-
-    def conv_t(key):
-        w = a(key + ".weight").transpose(2, 3, 0, 1)[::-1, ::-1]
-        return {"kernel": np.ascontiguousarray(w), "bias": a(key + ".bias")}
 
     md = "mask_decoder."
     params = {

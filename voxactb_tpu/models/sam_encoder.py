@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from voxactb_tpu.models.torch_port import make_port_helpers
+
 
 def _rel_pos_embed(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
     """Interpolate/select relative position embeddings (SAM's get_rel_pos)."""
@@ -213,10 +215,7 @@ def load_hf_sam_vision_weights(state_dict) -> dict:
     ``layers.N.layer_norm1`` vs ``blocks.N.norm1``, ``neck.layer_norm1`` vs
     ``neck.1`` ...)."""
 
-    def a(key):
-        v = state_dict[key]
-        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
-                          np.float32)
+    a = make_port_helpers(state_dict)[0]
 
     p = "vision_encoder."
     params = {
@@ -260,10 +259,7 @@ def load_hf_sam_vision_weights(state_dict) -> dict:
 def load_torch_sam_weights(state_dict) -> dict:
     """Map a segment-anything ``image_encoder.*`` state_dict onto SamImageEncoder."""
 
-    def a(key):
-        v = state_dict[key]
-        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
-                          np.float32)
+    a = make_port_helpers(state_dict)[0]
 
     p = "image_encoder."
     params = {

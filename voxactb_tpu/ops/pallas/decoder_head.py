@@ -38,18 +38,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LRELU_SLOPE = 0.02
-TEMPERATURE = 0.01
-
-
-def _edge_pad_row(ref, slot, interior, n):
-    """Write [N,N,C] interior into ref[slot] as [N+2,N+2,C] with edge replication."""
-    ref[slot, 1:n + 1, 1:n + 1, :] = interior
-    # columns first on interior rows, then row copies fix the corners
-    ref[slot, 1:n + 1, 0:1, :] = interior[:, 0:1, :]
-    ref[slot, 1:n + 1, n + 1:n + 2, :] = interior[:, n - 1:n, :]
-    ref[slot, 0:1, :, :] = ref[slot, 1:2, :, :]
-    ref[slot, n + 1:n + 2, :, :] = ref[slot, n:n + 1, :, :]
+from voxactb_tpu.ops.pallas.common import (
+    LRELU_SLOPE, edge_pad_row as _edge_pad_row, stats_emit, stats_fold,
+    stats_init)
 
 
 def _conv27(ring_ref, slots, zbuf, w_ref, n, c, cout, interpret):
@@ -96,8 +87,7 @@ def _kernel(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref, pos_h_ref, pos_w_ref
 
     @pl.when(t == 0)
     def _init_stats():
-        stats[...] = jnp.zeros_like(stats)
-        stats[0, :] = jnp.full_like(stats[0, :], -jnp.inf)  # running max m
+        stats_init(stats)
 
     # 1) build padded cat row for logical z-row `t` (content clamped at N-1 by the
     #    input index_map, matching replicate padding in z)
@@ -110,33 +100,19 @@ def _kernel(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref, pos_h_ref, pos_w_ref
     def _compute_u():
         i = t - 1
         slots = [jax.lax.rem(jnp.maximum(i - 1 + dz, 0), 3) for dz in range(3)]
-        acc = _conv27(cat_ring, slots, zcat, wf_ref, n, 2 * c, c,
-                      interpret) + bf_ref[0, :c]
-        u = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE).astype(cat_ring.dtype)
+        acc = (_conv27(cat_ring, slots, zcat, wf_ref, n, 2 * c, c,
+                       interpret) + bf_ref[0, :c]).astype(cat_ring.dtype)
+        # cast BEFORE lrelu: Conv3D applies act_fn(y.astype(bf16))
+        # (models/blocks.py:143), so the activation must see the rounded value
+        u = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE)
         _edge_pad_row(u_ring, jax.lax.rem(i, 3), u, n)
 
-        # online-softmax stats over u rows (f32, matching softargmax_stats_3d on the
-        # bf16-rounded u the XLA path sees). All position math stays 2D (Mosaic has
-        # no rank-3 broadcast reshape): reduce e over one spatial axis first, then
-        # weight by the lane-replicated position matrix pos_ref[h, :] == lin[h].
-        uf = u.astype(jnp.float32)
-        row_max = jnp.max(uf, axis=(0, 1))                      # [C]
-        m_old = stats[0, :c]
-        m_new = jnp.maximum(m_old, row_max)
-        corr = jnp.exp((m_old - m_new) / TEMPERATURE)
-        corr = jnp.where(jnp.isfinite(corr), corr, 0.0)         # first row: m=-inf
-        e = jnp.exp((uf - m_new[None, None, :]) / TEMPERATURE)  # [H,W,C]
-        se = jnp.sum(e, axis=(0, 1))                            # [C]
-        # reference quirk: E[x] <- lin[h(row-axis0)], E[y] <- lin[d(z)], E[z] <- lin[w]
-        # rank-3 broadcast multiplies (Mosaic rejects partial sublane reduces)
-        wx = jnp.sum(e * pos_h_ref[0:n, :, :c], axis=(0, 1))    # pos_h: [N,1,C]
-        wz = jnp.sum(e * pos_w_ref[:, 0:n, :c], axis=(0, 1))    # pos_w: [1,N,C]
-        lin_d_i = pos_smem_ref[0, jnp.minimum(i, n - 1)]
-        stats[0, :c] = m_new
-        stats[1, :c] = stats[1, :c] * corr + se
-        stats[2, :c] = stats[2, :c] * corr + wx
-        stats[3, :c] = stats[3, :c] * corr + lin_d_i * se
-        stats[4, :c] = stats[4, :c] * corr + wz
+        # online-softmax stats over u rows (f32, matching softargmax_stats_3d
+        # on the bf16-rounded u the XLA path sees); reference quirk: E[x] <-
+        # lin[h(row-axis0)], E[y] <- lin[d(z)], E[z] <- lin[w]
+        stats_fold(stats, u.astype(jnp.float32),
+                   pos_h_ref[0:n, :, :c], pos_w_ref[:, 0:n, :c],
+                   pos_smem_ref[0, jnp.minimum(i, n - 1)], c)
 
     # 3) trans row z = t-2 from u rows (z-1, z, z+1), clamped to [0, N-1].
     #    cout = t_heads (1-2) is tiny, so 9 shifted-window dots waste the MXU on
@@ -170,11 +146,7 @@ def _kernel(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref, pos_h_ref, pos_w_ref
     # 4) final program: emit stats
     @pl.when(t == n + 1)
     def _emit_stats():
-        denom = stats[1, :c]
-        kp_ref[0, 0, :c] = stats[2, :c] / denom
-        kp_ref[0, 1, :c] = stats[3, :c] / denom
-        kp_ref[0, 2, :c] = stats[4, :c] / denom
-        gmax_ref[0, 0, :c] = stats[0, :c]
+        stats_emit(stats, kp_ref, gmax_ref, c)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -44,18 +44,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from voxactb_tpu.ops.pallas.common import (
+    LRELU_SLOPE, edge_pad_row as _edge_pad_row, stats_emit, stats_fold,
+    stats_init)
 from voxactb_tpu.ops.upsample_conv import _phase_tap_matrix
-
-LRELU_SLOPE = 0.02
-TEMPERATURE = 0.01
-
-
-def _edge_pad_row(ref, slot, interior, n):
-    ref[slot, 1:n + 1, 1:n + 1, :] = interior
-    ref[slot, 1:n + 1, 0:1, :] = interior[:, 0:1, :]
-    ref[slot, 1:n + 1, n + 1:n + 2, :] = interior[:, n - 1:n, :]
-    ref[slot, 0:1, :, :] = ref[slot, 1:2, :, :]
-    ref[slot, n + 1:n + 2, :, :] = ref[slot, n:n + 1, :, :]
 
 
 def _phase_weight_table(up_kernel: jax.Array, scale: int) -> jax.Array:
@@ -200,8 +192,7 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
 
     @pl.when(t == 0)
     def _init_stats():
-        stats[...] = jnp.zeros_like(stats)
-        stats[0, :] = jnp.full_like(stats[0, :], -jnp.inf)
+        stats_init(stats)
 
     # ---- synthesize row z_in = min(t, n-1): d0 row from HBM, u0 row from h ----
     slot_in = jax.lax.rem(t, 3)
@@ -237,7 +228,10 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
         for rx in range(5):
             rep = _repeat5(a[:, :, rx * c:(rx + 1) * c], interpret)
             acc = acc + jnp.where(colph == rx, rep, 0.0)
-        u0p = acc + upb_ref[0, :c]
+        # cast BEFORE lrelu: upsample_conv returns (y+b).astype(bf16) and the
+        # caller's leaky_relu runs in bf16 (ops/upsample_conv.py:93), so the
+        # activation must see the rounded value
+        u0p = (acc + upb_ref[0, :c]).astype(cat_d0.dtype).astype(jnp.float32)
         u0i = jnp.where(u0p >= 0, u0p, u0p * LRELU_SLOPE)
         # x-edge-pad into a [s, np8, c] plane: col 0 <- x=0, cols 1..n <- x,
         # col n+1 <- x=n-1, zero beyond
@@ -275,26 +269,15 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
         acc = part[:, :, 0:c]
         for dx in (1, 2):
             acc = acc + roll(part[:, :, dx * c:(dx + 1) * c], np8 - dx, axis=1)
-        acc = acc + bf_ref[0, :c]
-        u = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE).astype(cat_d0.dtype)
+        # cast BEFORE lrelu: Conv3D applies act_fn(y.astype(bf16))
+        # (models/blocks.py:143), so the activation must see the rounded value
+        acc = (acc + bf_ref[0, :c]).astype(cat_d0.dtype)
+        u = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE)
         _edge_pad_row(u_ring, jax.lax.rem(i, 3), u[:, 0:n, :], n)
 
-        uf = u[:, 0:n, :].astype(jnp.float32)
-        row_max = jnp.max(uf, axis=(0, 1))
-        m_old = stats[0, :c]
-        m_new = jnp.maximum(m_old, row_max)
-        corr = jnp.exp((m_old - m_new) / TEMPERATURE)
-        corr = jnp.where(jnp.isfinite(corr), corr, 0.0)
-        e = jnp.exp((uf - m_new[None, None, :]) / TEMPERATURE)
-        se = jnp.sum(e, axis=(0, 1))
-        wx = jnp.sum(e * pos_h_ref[0:n, :, :c], axis=(0, 1))
-        wz = jnp.sum(e * pos_w_ref[:, 0:n, :c], axis=(0, 1))
-        lin_d_i = pos_smem_ref[0, jnp.minimum(i, n - 1)]
-        stats[0, :c] = m_new
-        stats[1, :c] = stats[1, :c] * corr + se
-        stats[2, :c] = stats[2, :c] * corr + wx
-        stats[3, :c] = stats[3, :c] * corr + lin_d_i * se
-        stats[4, :c] = stats[4, :c] * corr + wz
+        stats_fold(stats, u[:, 0:n, :].astype(jnp.float32),
+                   pos_h_ref[0:n, :, :c], pos_w_ref[:, 0:n, :c],
+                   pos_smem_ref[0, jnp.minimum(i, n - 1)], c)
 
     @pl.when(t >= 2)
     def _compute_trans():
@@ -316,8 +299,4 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
 
     @pl.when(t == n + 1)
     def _emit_stats():
-        denom = stats[1, :c]
-        kp_ref[0, 0, :c] = stats[2, :c] / denom
-        kp_ref[0, 1, :c] = stats[3, :c] / denom
-        kp_ref[0, 2, :c] = stats[4, :c] / denom
-        gmax_ref[0, 0, :c] = stats[0, :c]
+        stats_emit(stats, kp_ref, gmax_ref, c)

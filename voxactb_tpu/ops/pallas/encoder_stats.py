@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LRELU_SLOPE = 0.02
-TEMPERATURE = 0.01
+from voxactb_tpu.ops.pallas.common import (
+    LRELU_SLOPE, stats_emit, stats_fold, stats_init)
 
 
 def _kernel(x_ref, w_ref, b_ref, pos_h_ref, pos_w_ref, pos_smem_ref,
@@ -32,42 +32,27 @@ def _kernel(x_ref, w_ref, b_ref, pos_h_ref, pos_w_ref, pos_smem_ref,
 
     @pl.when(t == 0)
     def _init_stats():
-        stats[...] = jnp.zeros_like(stats)
-        stats[0, :] = jnp.full_like(stats[0, :], -jnp.inf)
+        stats_init(stats)
 
     acc = jax.lax.dot_general(
         x_ref[0, 0], w_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b_ref[0, :c]
-    d = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE).astype(d0_ref.dtype)
+    # cast BEFORE lrelu: Conv3D applies act_fn((y+b).astype(bf16))
+    # (models/blocks.py:167), so the activation must see the rounded value
+    acc = acc.astype(d0_ref.dtype)
+    d = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE)
     d0_ref[0, 0] = d
 
     # online-softmax stats on the bf16-rounded row (softargmax_stats_3d parity)
-    uf = d.astype(jnp.float32)
-    row_max = jnp.max(uf, axis=(0, 1))
-    m_old = stats[0, :c]
-    m_new = jnp.maximum(m_old, row_max)
-    corr = jnp.exp((m_old - m_new) / TEMPERATURE)
-    corr = jnp.where(jnp.isfinite(corr), corr, 0.0)
-    e = jnp.exp((uf - m_new[None, None, :]) / TEMPERATURE)
-    se = jnp.sum(e, axis=(0, 1))
-    wx = jnp.sum(e * pos_h_ref[0:n, :, :c], axis=(0, 1))
-    wz = jnp.sum(e * pos_w_ref[:, 0:n, :c], axis=(0, 1))
-    lin_d = pos_smem_ref[0, t]
-    stats[0, :c] = m_new
-    stats[1, :c] = stats[1, :c] * corr + se
-    stats[2, :c] = stats[2, :c] * corr + wx
-    stats[3, :c] = stats[3, :c] * corr + lin_d * se
-    stats[4, :c] = stats[4, :c] * corr + wz
+    stats_fold(stats, d.astype(jnp.float32),
+               pos_h_ref[0:n, :, :c], pos_w_ref[:, 0:n, :c],
+               pos_smem_ref[0, t], c)
 
     @pl.when(t == n - 1)
     def _emit_stats():
-        denom = stats[1, :c]
-        kp_ref[0, 0, :c] = stats[2, :c] / denom
-        kp_ref[0, 1, :c] = stats[3, :c] / denom
-        kp_ref[0, 2, :c] = stats[4, :c] / denom
-        gmax_ref[0, 0, :c] = stats[0, :c]
+        stats_emit(stats, kp_ref, gmax_ref, c)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -45,10 +45,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from voxactb_tpu.ops.pallas.common import (
+    LRELU_SLOPE, stats_emit, stats_fold, stats_init)
 from voxactb_tpu.ops.voxelize import MIN_DENOMINATOR
-
-LRELU_SLOPE = 0.02
-TEMPERATURE = 0.01
 
 
 def sort_points_by_row(coords, feats, coord_bounds, *, voxel_size: int,
@@ -114,8 +113,7 @@ def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
 
     @pl.when(t == 0)
     def _init():
-        stats[...] = jnp.zeros_like(stats)
-        stats[0, :] = jnp.full_like(stats[0, :], -jnp.inf)
+        stats_init(stats)
 
     # 1) serial scatter of this row's points
     accum[...] = jnp.zeros_like(accum)
@@ -154,26 +152,17 @@ def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
         grid16.astype(d0_ref.dtype), w1_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b1_ref[0, :c]
-    d = jnp.where(pre >= 0, pre, pre * LRELU_SLOPE).astype(d0_ref.dtype)
+    # cast BEFORE the activation — Conv3D computes act_fn((y+b).astype(bf16))
+    # (models/blocks.py:167), so the lrelu must see the rounded value or
+    # negative pre-activations drift by ~1 ulp vs the XLA/training path
+    pre = pre.astype(d0_ref.dtype)
+    d = jnp.where(pre >= 0, pre, pre * LRELU_SLOPE)
     d0_ref[0, 0] = d[:, 0:n, :]
 
-    # 4) online-softmax soft-argmax stats (encoder_stats.py recurrence)
-    uf = d[:, 0:n, :].astype(jnp.float32)
-    row_max = jnp.max(uf, axis=(0, 1))
-    m_old = stats[0, :c]
-    m_new = jnp.maximum(m_old, row_max)
-    corr = jnp.exp((m_old - m_new) / TEMPERATURE)
-    corr = jnp.where(jnp.isfinite(corr), corr, 0.0)
-    e = jnp.exp((uf - m_new[None, None, :]) / TEMPERATURE)
-    se = jnp.sum(e, axis=(0, 1))
-    wx = jnp.sum(e * pos_h_ref[0:n, :, :c], axis=(0, 1))
-    wz = jnp.sum(e * pos_w_ref[:, 0:n, :c], axis=(0, 1))
-    lin_d = pos_smem_ref[0, t]
-    stats[0, :c] = m_new
-    stats[1, :c] = stats[1, :c] * corr + se
-    stats[2, :c] = stats[2, :c] * corr + wx
-    stats[3, :c] = stats[3, :c] * corr + lin_d * se
-    stats[4, :c] = stats[4, :c] * corr + wz
+    # 4) online-softmax soft-argmax stats (shared ops/pallas/common recurrence)
+    stats_fold(stats, d[:, 0:n, :].astype(jnp.float32),
+               pos_h_ref[0:n, :, :c], pos_w_ref[:, 0:n, :c],
+               pos_smem_ref[0, t], c)
 
     # 5) patchify accumulation (front-padded k5/s5 windows)
     zslab = (t + 2) // 5
@@ -217,11 +206,7 @@ def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
 
     @pl.when(t == n - 1)
     def _emit_stats():
-        denom = stats[1, :c]
-        kp_ref[0, 0, :c] = stats[2, :c] / denom
-        kp_ref[0, 1, :c] = stats[3, :c] / denom
-        kp_ref[0, 2, :c] = stats[4, :c] / denom
-        gmax_ref[0, 0, :c] = stats[0, :c]
+        stats_emit(stats, kp_ref, gmax_ref, c)
 
 
 @functools.partial(jax.jit, static_argnames=("voxel_size", "row_cap",
