@@ -53,6 +53,27 @@ def test_csv_writer_backfills_new_columns(tmp_path):
     assert [r["step"] for r in rows] == ["0", "1"]
 
 
+def test_csv_writer_resume_preserves_prior_rows(tmp_path):
+    """A fresh CsvWriter on an existing file must append, not truncate — the
+    'missing' eval sweep and train resume depend on previously scored rows
+    surviving a process restart (peract/eval.py:148-152)."""
+    p = str(tmp_path / "m.csv")
+    w = CsvWriter(p)
+    w.write({"step": 0, "eval_envs/return": 80.0})
+    w.write({"step": 1000, "eval_envs/return": 90.0})
+    del w
+
+    w2 = CsvWriter(p)  # simulates the restarted process
+    w2.write({"step": 2000, "eval_envs/return": 95.0})
+    # a NEW column forces the _rewrite path, which must keep the loaded rows
+    w2.write({"step": 3000, "eval_envs/return": 85.0, "extra": 1.0})
+    with open(p) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["0", "1000", "2000", "3000"]
+    assert rows[0]["eval_envs/return"] == "80.0"
+    assert rows[0]["extra"] == ""
+
+
 def test_log_writer_writes_scalars(tmp_path):
     lw = LogWriter(str(tmp_path), tensorboard_logging=False)
     lw.add_summaries(5, [ScalarSummary("losses/total", 2.5),

@@ -253,6 +253,22 @@ def test_stabilizing_sweep(tmp_path, rng):
     assert all(r["step"] == 0 for r in rows)
     assert os.path.exists(tmp_path / "logs" / "stabilizing_sweep.csv")
 
+    # resume: a fresh runner skips the already-scored left steps and the CSV
+    # keeps both original rows (restart mid-sweep must not rescore/truncate)
+    acting.save_weights(str(tmp_path / "stab" / "2"))
+    env2 = FakeBimanualEnv(image_size=IMG, episode_length=3, seed=9)
+    env2.launch()
+    runner2 = EvalRunner(
+        env2, acting, str(tmp_path / "acting"), str(tmp_path / "logs"),
+        left_arm_agent=stabilizing, eval_episodes=1, episode_length=3,
+    )
+    rows2 = runner2.sweep_stabilizing(0, str(tmp_path / "stab"))
+    assert [r["left_step"] for r in rows2] == [2]
+    import csv as _csv
+    with open(tmp_path / "logs" / "stabilizing_sweep.csv") as f:
+        all_rows = list(_csv.DictReader(f))
+    assert [r["left_step"] for r in all_rows] == ["0", "1", "2"]
+
 
 class _ScriptedPlanner:
     """Fake VoxPoser planner: moves both arms toward the target."""

@@ -52,7 +52,7 @@ run front_probe 2400 python tools/probe_front_batch.py
 run remat_ab 2400 python tools/profile_train.py --steps 8
 run vlm_probe 2400 python -c "import bench; print('vlm_ms:', bench.time_vlm_pass()); print('sam_h_ms:', bench.time_sam_h())"
 run bench_full 5400 env BENCH_PALLAS_DECODER_V3="$V3" python bench.py
-run protocol_eval 21600 python tools/run_protocol_eval.py --out eval_artifacts \
+run protocol_eval 28800 python tools/run_protocol_eval.py --out eval_artifacts \
     --tasks open_drawer put_item_in_drawer hand_over_item \
     --iters 6000 --save-freq 2000 --platform tpu
 echo "[chipq] ALL DONE" | tee -a "$LOGDIR/status"

@@ -29,10 +29,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # for the training legs even through the relay)
 import jax  # noqa: E402
 
-if "--platform" in sys.argv:
-    _plat = sys.argv[sys.argv.index("--platform") + 1]
-else:
-    _plat = "cpu"
+_plat = "cpu"
+for _i, _tok in enumerate(sys.argv):
+    if _tok == "--platform" and _i + 1 < len(sys.argv):
+        _plat = sys.argv[_i + 1]
+    elif _tok.startswith("--platform="):
+        _plat = _tok.split("=", 1)[1]
 if _plat == "cpu":
     # 'tpu' must NOT be forced: the relay chip registers through its own
     # plugin and jax_platforms='tpu' would try (and fail) to init libtpu —
@@ -114,16 +116,27 @@ def train_policy(task: str, arm: str, out_root: str, iters: int, demos: int,
     return seed_dir
 
 
-def latest_ckpt_file(seed_dir: str) -> str:
+def ckpt_file(seed_dir: str, step: int = None) -> str:
+    """Path of the .msgpack checkpoint at ``step`` (default: newest)."""
+    from voxactb_tpu.runners.eval_runner import existing_weight_steps
+
     wd = os.path.join(seed_dir, "weights")
-    steps = sorted(int(d) for d in os.listdir(wd) if d.isdigit())
-    final = os.path.join(wd, str(steps[-1]))
+    steps = existing_weight_steps(wd)
+    if not steps:
+        raise FileNotFoundError(f"no saved weight steps under {wd} — "
+                                "was the training leg interrupted before "
+                                "its first save?")
+    step = steps[-1] if step is None else step
+    final = os.path.join(wd, str(step))
     files = [f for f in os.listdir(final) if f.endswith(".msgpack")]
+    if not files:
+        raise FileNotFoundError(f"no .msgpack in {final}")
     return os.path.join(final, files[0])
 
 
-def run_eval(task: str, acting_dir: str, stab_ckpt: str, episodes: int,
-             seed: int, eval_type, csv_name: str, selection_csv: str = None):
+def make_runner(task: str, acting_dir: str, stab_ckpt, episodes: int,
+                seed: int, csv_name: str = "eval_data.csv",
+                selection_csv: str = None):
     from voxactb_tpu.agents.qattention_agent import QAttentionBCAgent
     from voxactb_tpu.config import Config
     from voxactb_tpu.runners.eval_runner import EvalRunner
@@ -139,17 +152,56 @@ def run_eval(task: str, acting_dir: str, stab_ckpt: str, episodes: int,
                                cfg.rlbench.scene_bounds)
     stab = QAttentionBCAgent(cfg.method, cfg.rlbench.cameras,
                              cfg.rlbench.scene_bounds)
-    runner = EvalRunner(
+    return EvalRunner(
         env, acting, weightsdir=os.path.join(acting_dir, "weights"),
         logdir=acting_dir, left_arm_agent=stab, left_arm_ckpt=stab_ckpt,
         eval_episodes=episodes, episode_length=cfg.rlbench.episode_length,
         which_arm="dominant_assistive", crop_target_obj_voxel=True,
         crop_radius=0.3, csv_name=csv_name, selection_csv_name=selection_csv)
+
+
+def run_eval(task: str, acting_dir: str, stab_ckpt: str, episodes: int,
+             seed: int, eval_type, csv_name: str, selection_csv: str = None):
+    runner = make_runner(task, acting_dir, stab_ckpt, episodes, seed,
+                         csv_name, selection_csv)
     t0 = time.time()
     rows = runner.start(eval_type)
     print(f"[{task}] eval_type={eval_type} seed={seed} "
           f"{time.time()-t0:.0f}s -> {rows}", flush=True)
     return rows
+
+
+def run_stab_sweep(task: str, acting_dir: str, stab_dir: str, episodes: int,
+                   seed: int):
+    """Protocol stage 2 (peract/eval.py:206-241): fix the best acting
+    checkpoint (from eval_data.csv) and sweep every stabilizing checkpoint.
+    Returns (best_acting_step, sweep rows, best_left_step)."""
+    from voxactb_tpu.runners.eval_runner import select_checkpoints
+
+    eval_csv = os.path.join(acting_dir, "eval_data.csv")
+    best = select_checkpoints(os.path.join(acting_dir, "weights"), "best",
+                              eval_csv)
+    if not best:
+        raise RuntimeError(f"[{task}] no best acting checkpoint selectable "
+                           f"from {eval_csv}")
+    runner = make_runner(task, acting_dir, None, episodes, seed)
+    t0 = time.time()
+    rows = runner.sweep_stabilizing(best[0],
+                                    os.path.join(stab_dir, "weights"))
+    # merge resumed rows back in from the CSV (sweep skips already-scored)
+    sweep_csv = os.path.join(acting_dir, "stabilizing_sweep.csv")
+    with open(sweep_csv) as f:
+        all_rows = [r for r in csv.DictReader(f)
+                    if int(float(r["step"])) == best[0]]
+    # the reference keeps the LAST argmax on ties (eval.py:178)
+    best_left, best_ret = None, -float("inf")
+    for r in all_rows:
+        ret = float(r.get("eval_envs/return", "nan") or "nan")
+        if ret >= best_ret:
+            best_ret, best_left = ret, int(float(r["left_step"]))
+    print(f"[{task}] stab sweep (acting={best[0]}) {time.time()-t0:.0f}s -> "
+          f"best left={best_left} @ {best_ret}", flush=True)
+    return best[0], all_rows, best_left
 
 
 def main():
@@ -167,6 +219,10 @@ def main():
     ap.add_argument("--extra", nargs="*", default=[],
                     help="extra dotted config overrides appended to COMMON "
                          "(e.g. method.apply_se3=False)")
+    ap.add_argument("--no-stab-sweep", action="store_true",
+                    help="skip protocol stage 2 (stabilizing-checkpoint "
+                         "sweep); the test eval then pairs the newest "
+                         "stabilizing checkpoint with the best acting one")
     ap.add_argument("--quick", action="store_true",
                     help="calibration mode: 1 task, few iters/episodes")
     args = ap.parse_args()
@@ -190,10 +246,28 @@ def main():
                                   args.demos, args.save_freq)
         stab_dir = train_policy(task, "assistive", root, args.iters,
                                 args.demos, args.save_freq)
-        stab_ckpt = latest_ckpt_file(stab_dir)
+        stab_ckpt = ckpt_file(stab_dir)  # newest; used during the acting sweep
 
+        # stage 1: 'missing' sweep over acting checkpoints (val seed)
         run_eval(task, acting_dir, stab_ckpt, args.episodes, args.val_seed,
                  "missing", "eval_data.csv")
+
+        # stage 2: stabilizing-checkpoint sweep with the best acting fixed
+        # (peract/eval.py:206-241); the winner pairs into the test eval
+        stab_sweep = None
+        if not args.no_stab_sweep:
+            best_acting, sweep_rows, best_left = run_stab_sweep(
+                task, acting_dir, stab_dir, args.episodes, args.val_seed)
+            stab_ckpt = ckpt_file(stab_dir, best_left)
+            stab_sweep = {
+                "acting_step": best_acting,
+                "rows": [{"left_step": r["left_step"],
+                          "return": float(r["eval_envs/return"])}
+                         for r in sweep_rows],
+                "best_left_step": best_left,
+            }
+
+        # stage 3: 'best' on the test seed with the selected pair
         test_rows = run_eval(task, acting_dir, stab_ckpt, args.episodes,
                              args.test_seed, "best", "test_data.csv",
                              selection_csv="eval_data.csv")
@@ -207,6 +281,8 @@ def main():
                      for r in test_rows],
             "acting_dir": acting_dir,
         }
+        if stab_sweep is not None:
+            summary[task]["stab_sweep"] = stab_sweep
         with open(summary_path, "w") as f:
             json.dump(summary, f, indent=1)
 

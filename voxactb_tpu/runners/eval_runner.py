@@ -104,11 +104,10 @@ class EvalRunner:
             logdir, selection_csv_name) if selection_csv_name else self._csv_path
         self._rollout = RolloutGenerator()
 
-    def _eval_checkpoint(self, step: int) -> Dict[str, float]:
-        self._agent.load_weights(os.path.join(self._weightsdir, str(step)))
-        if self._left_arm_agent is not None and self._left_arm_ckpt:
-            self._left_arm_agent.load_weight(self._left_arm_ckpt)
-
+    def _score_episodes(self) -> Dict[str, float]:
+        """Roll self._eval_episodes episodes with the currently-loaded agents
+        and return the accumulated stat fields (the shared per-checkpoint loop
+        of start() and sweep_stabilizing())."""
         acc = StatAccumulator()
         for ep in range(self._eval_from, self._eval_from + self._eval_episodes):
             total_reward, length = 0.0, 0
@@ -121,11 +120,13 @@ class EvalRunner:
                 total_reward += rt.reward
                 length += 1
             acc.step_episode(total_reward, length)
+        return {s.name: s.value for s in acc.pop()}
 
-        row: Dict[str, float] = {"step": step}
-        for s in acc.pop():
-            row[s.name] = s.value
-        return row
+    def _eval_checkpoint(self, step: int) -> Dict[str, float]:
+        self._agent.load_weights(os.path.join(self._weightsdir, str(step)))
+        if self._left_arm_agent is not None and self._left_arm_ckpt:
+            self._left_arm_agent.load_weight(self._left_arm_ckpt)
+        return {"step": step, **self._score_episodes()}
 
     def start(self, eval_type="missing",
               num_procs: int = 1) -> List[Dict[str, float]]:
@@ -177,15 +178,40 @@ class EvalRunner:
         running: List = []
         errors: List[str] = []
         n_outstanding = 0
-        while pending or n_outstanding:
+        import queue as pyqueue
+
+        while pending or n_outstanding > 0:
             while pending and n_outstanding < num_procs:
                 p = ctx.Process(target=self._worker,
                                 args=(pending.pop(0), queue))
                 p.start()
                 running.append(p)
                 n_outstanding += 1
-            kind, payload = queue.get()
+            try:
+                kind, payload = queue.get(timeout=30.0)
+            except pyqueue.Empty:
+                # liveness check: a child that hard-crashed (segfault/OOM/
+                # os._exit) never enqueues and would hang this get() forever;
+                # reap it and charge an error instead
+                for p in list(running):
+                    if not p.is_alive():
+                        p.join()
+                        running.remove(p)
+                        if p.exitcode != 0:
+                            errors.append(f"eval worker (pid {p.pid}) died "
+                                          f"with exitcode {p.exitcode}")
+                            n_outstanding -= 1
+                continue
             n_outstanding -= 1
+            if kind == "err":
+                errors.append(payload)
+            else:
+                writer.write(payload)
+                results.append(payload)
+        # a worker that reported and THEN died nonzero can double-decrement;
+        # drain any rows its message left behind before judging errors
+        while not queue.empty():
+            kind, payload = queue.get_nowait()
             if kind == "err":
                 errors.append(payload)
             else:
@@ -208,33 +234,27 @@ class EvalRunner:
             raise ValueError("sweep_stabilizing needs a left_arm_agent")
         self._left_arm_agent.build(training=False)
         self._env.launch()
-        writer = CsvWriter(os.path.join(self._logdir, "stabilizing_sweep.csv"))
+        sweep_csv = os.path.join(self._logdir, "stabilizing_sweep.csv")
+        # resume: skip left steps already scored for THIS acting step
+        done = set()
+        if os.path.exists(sweep_csv):
+            with open(sweep_csv) as f:
+                done = {int(float(r["left_step"])) for r in csv.DictReader(f)
+                        if r.get("left_step")
+                        and int(float(r["step"])) == acting_step}
+        writer = CsvWriter(sweep_csv)
         results = []
         try:
             self._agent.load_weights(
                 os.path.join(self._weightsdir, str(acting_step)))
             for left_step in existing_weight_steps(stabilizing_weightsdir):
+                if left_step in done:
+                    continue
                 self._left_arm_agent.load_weights(
                     os.path.join(stabilizing_weightsdir, str(left_step)))
-                acc = StatAccumulator()
-                for ep in range(self._eval_from,
-                                self._eval_from + self._eval_episodes):
-                    total_reward, length = 0.0, 0
-                    for rt in self._rollout.generator(
-                        self._env, self._agent, self._episode_length, eval=True,
-                        left_arm_agent=self._left_arm_agent,
-                        which_arm=self._which_arm,
-                        crop_target_obj_voxel=self._crop,
-                        crop_radius=self._crop_radius, auto_crop=self._auto_crop,
-                        demo_index=ep,
-                    ):
-                        total_reward += rt.reward
-                        length += 1
-                    acc.step_episode(total_reward, length)
                 row: Dict[str, float] = {"step": acting_step,
-                                         "left_step": left_step}
-                for s in acc.pop():
-                    row[s.name] = s.value
+                                         "left_step": left_step,
+                                         **self._score_episodes()}
                 writer.write(row)
                 results.append(row)
         finally:

@@ -26,6 +26,18 @@ class CsvWriter:
         self._rows: List[Dict] = []
         self._lock = threading.Lock()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        # resume: adopt an existing file's rows + header so the first write
+        # after a restart appends (or rewrites WITH the old rows) instead of
+        # truncating — the 'missing' eval sweep and train resume depend on
+        # previously scored rows surviving (peract/eval.py:148-152)
+        if os.path.exists(path) and os.path.getsize(path) > 0:
+            try:
+                with open(path, newline="") as f:
+                    r = csv.DictReader(f)
+                    self._fieldnames = list(r.fieldnames or [])
+                    self._rows = [dict(row) for row in r]
+            except Exception:
+                self._fieldnames, self._rows = [], []
 
     def write(self, row: Dict) -> None:
         with self._lock:
