@@ -238,6 +238,17 @@ def test_pyrep_backend_gates_cleanly():
         PyRepBackend("/nonexistent/scene.ttt")
 
 
+def test_pyrep_backend_declares_full_simbackend_contract():
+    """Every SimBackend abstract must be overridden by the adapter — the
+    environment calls them all (reset() -> reset_arms regression)."""
+    from voxactb_tpu.sim.backend import SimBackend
+    from voxactb_tpu.sim.pyrep_backend import PyRepBackend
+
+    missing = [name for name in SimBackend.__abstractmethods__
+               if getattr(PyRepBackend, name) is getattr(SimBackend, name)]
+    assert not missing, f"PyRepBackend misses SimBackend methods: {missing}"
+
+
 def test_pinhole_projection_consistency():
     """Real camera model (VERDICT #4): K @ inv(E) @ world lands the target
     object at rgb pixels of its color, and the pcd at that pixel back-projects

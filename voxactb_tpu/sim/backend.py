@@ -49,6 +49,15 @@ class ArmState:
 class SimBackend(abc.ABC):
     """What Scene/Task/ActionMode layers require of a simulator."""
 
+    # axis-aligned reachable bounds (xmin, ymin, zmin, xmax, ymax, zmax);
+    # backends override to their scene's limits — the environment's workspace
+    # check and the camera rig read THIS, never a concrete backend's constant
+    workspace = np.array([-0.45, -0.6, 0.55, 0.65, 0.6, 1.5], np.float32)
+
+    @abc.abstractmethod
+    def reset_arms(self) -> None:
+        """Return both arms to their home poses, open grippers, drop grasps."""
+
     @abc.abstractmethod
     def add_object(self, obj: SceneObject) -> None: ...
 
@@ -74,8 +83,6 @@ class SimBackend(abc.ABC):
 
 
 class KinematicBackend(SimBackend):
-    workspace = np.array([-0.45, -0.6, 0.55, 0.65, 0.6, 1.5], np.float32)
-
     def __init__(self, seed: int = 0):
         self._objects: Dict[str, SceneObject] = {}
         self._arms = {

@@ -255,7 +255,7 @@ class BimanualTaskEnvironment(BimanualEnv):
         self.task.init_task()
         self._lang_encoder = lang_encoder or default_sim_language_encoder()
         self._renderer = SceneRenderer(cameras, image_size,
-                                       KinematicBackend.workspace)
+                                       self.backend.workspace)
         self._cameras = tuple(cameras)
         self._episode_length = episode_length
         self._seed = seed
@@ -313,7 +313,7 @@ class BimanualTaskEnvironment(BimanualEnv):
 
         pos, quat, grip = action[:3], action[3:7], float(action[7])
         ignore_collisions = bool(action[8]) if action.shape[-1] > 8 else False
-        ws = KinematicBackend.workspace
+        ws = self.backend.workspace
         if np.any(pos < ws[:3]) or np.any(pos > ws[3:]):
             # workspace bound check (arm_action_modes.py:324)
             raise InvalidActionError(

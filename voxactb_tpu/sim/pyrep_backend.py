@@ -63,6 +63,10 @@ class PyRepBackend(SimBackend):
         self._objects: Dict[str, object] = {}
         self._grasped: Dict[str, Optional[str]] = {}
         self._paths = {a: None for a in names}
+        # home configuration for reset_arms (Scene2Robots restores the arms'
+        # starting joint state between episodes)
+        self._home_joints = {a: arm.get_joint_positions()
+                             for a, arm in self._arms_sim.items()}
 
     # -- objects -------------------------------------------------------------------
 
@@ -103,6 +107,16 @@ class PyRepBackend(SimBackend):
         self._grasped.clear()
 
     # -- arms ----------------------------------------------------------------------
+
+    def reset_arms(self) -> None:
+        for which, sim_arm in self._arms_sim.items():
+            self._paths[which] = None
+            self._grippers[which].release()
+            sim_arm.set_joint_positions(self._home_joints[which],
+                                        disable_dynamics=True)
+            while not self._grippers[which].actuate(1.0, velocity=0.2):
+                self._pr.step()
+        self._grasped = {k: None for k in self._grasped}
 
     def arm(self, which: str) -> ArmState:
         sim_arm = self._arms_sim[which]
