@@ -270,6 +270,28 @@ def test_stabilizing_sweep(tmp_path, rng):
     assert [r["left_step"] for r in all_rows] == ["0", "1", "2"]
 
 
+def test_time_limit_terminal_is_marked_timeout(rng):
+    """The env terminates on its own time limit, so the rollout must still
+    flag the transition as a timeout in replay (YARR rollout_generator.py:53)
+    — a plain terminal=True would be indistinguishable from success/failure."""
+    from voxactb_tpu.agents.base import ActResult
+
+    class _MissAgent:
+        def build(self, training=False):
+            pass
+
+        def act(self, step, obs, **kw):
+            # never reaches the target, never closes the gripper
+            return ActResult(np.r_[0.3, 0.0, 1.0, 0, 0, 0, 1, 1.0, 1.0])
+
+    env = FakeBimanualEnv(image_size=IMG, episode_length=3, seed=1)
+    env.launch()
+    rts = list(RolloutGenerator().generator(
+        env, _MissAgent(), episode_length=3, eval=True, which_arm="dominant"))
+    assert rts[-1].terminal and rts[-1].timeout
+    assert not any(r.timeout for r in rts[:-1])
+
+
 class _ScriptedPlanner:
     """Fake VoxPoser planner: moves both arms toward the target."""
 

@@ -132,6 +132,15 @@ class RolloutGenerator:
         if step == episode_length - 1 and not transition.terminal:
             timeout = True
             transition.terminal = True
+        elif transition.terminal and step == episode_length - 1:
+            # the env itself terminates on its own time limit (success or
+            # timeout); a last-step terminal that is neither a success nor a
+            # collision failure IS the time limit — keep it distinguishable in
+            # replay (YARR's timeout flag, rollout_generator.py:53-56)
+            info = transition.info or {}
+            if not info.get("success", transition.reward > 0) \
+                    and not info.get("arm_collision", False):
+                timeout = True
 
         combined = dict(obs)
         combined.update({k: np.asarray(v)
