@@ -115,6 +115,30 @@ def test_save_load_roundtrip(trained_agent, tmp_path):
     np.testing.assert_allclose(before, after, atol=1e-5)
 
 
+def test_resume_restores_optimizer_state_and_step(trained_agent, tmp_path):
+    """Regression: OfflineTrainRunner loads a checkpoint BEFORE the first
+    update, when no TrainState exists yet — the optimizer state and step must
+    survive into the rebuilt state (a silent reset restarts the LR schedule
+    and the fold_in(rng, step) augmentation stream)."""
+    agent, _ = trained_agent
+    agent.save_weights(str(tmp_path))
+    saved_step = int(agent._state.step)
+    assert saved_step > 0
+
+    cfg = tiny_cfg()
+    batch = synthetic_batch(np.random.default_rng(0), cfg)
+    fresh = QAttentionBCAgent(cfg, CAMERAS, BOUNDS)
+    fresh.build(training=True)
+    fresh.load_weights(str(tmp_path))  # resume path: before any update
+    fresh.update(saved_step, dict(batch))
+    assert int(fresh._state.step) == saved_step + 1
+    # LAMB second moments must be the checkpoint's, not zeros
+    import jax
+    nu_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(
+        fresh._state.opt_state) if hasattr(x, "shape")]
+    assert any(np.abs(leaf).sum() > 0 for leaf in nu_leaves)
+
+
 def test_real_robot_tuple(trained_agent):
     agent, _ = trained_agent
     rng = np.random.default_rng(3)

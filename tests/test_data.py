@@ -131,6 +131,38 @@ def test_fill_replay_populates_buffer(rng):
     assert (rows["reward"][~rows["terminal"]] == 0.0).all()
 
 
+def test_fill_replay_multiarm_runs_and_routes_per_keyframe_arm(rng):
+    """Regression: which_arm='multiarm' crashed in extract_obs (no branch).
+    The reference resolves multiarm to the keyframe's arm before extracting
+    (launch_utils.py:368-383) and conditions on that arm's instruction half."""
+    calls = []
+
+    def fake_encoder(text):
+        calls.append(text)
+        return np.ones((1, 1024), np.float32), np.ones((1, 77, 512), np.float32)
+
+    sig = bc_replay_signature(["wrist", "wrist2"], (8, 8), low_dim_size=4,
+                              arm_pred_loss=True)
+    buf = TaskUniformReplayBuffer(256, sig)
+    demos = [synth_demo(rng) for _ in range(2)]
+    for d in demos:
+        d.descriptions = ["hold the jar with left hand and "
+                          "open the lid with right hand"]
+    n = fill_replay(
+        buf, demos, ["wrist", "wrist2"], [-0.8, -1.0, 0.1, 1.2, 1.0, 2.1],
+        voxel_size=50, rotation_resolution=5, which_arm="multiarm",
+        lang_encoder=fake_encoder, arm_pred_loss=True, arm_pred_input=True,
+    )
+    assert n > 0 and buf.size == n
+    batch = buf.sample_transition_batch(4)
+    # arm_pred_input: proprio = gripper state (3) + arm id (1), no timestep
+    assert batch["low_dim_state"].shape == (4, 4)
+    assert set(np.unique(batch["label"])) <= {0, 1}
+    # the instruction halves were encoded (memoized once each + full desc)
+    assert "hold the jar with left hand" in calls
+    assert "open the lid with right hand" in calls
+
+
 def test_fill_replay_both_arms_routes_labels_per_arm(rng):
     """Regression: which_arm='both' is right-primary — the main action keys must
     store the RIGHT arm's discretized pose and the *_left keys the LEFT arm's."""

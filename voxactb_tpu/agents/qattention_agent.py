@@ -68,6 +68,7 @@ class QAttentionBCAgent(Agent):
         self._name = f"{NAME}_layer{layer}"
         self._state: Optional[TrainState] = None
         self._params = None
+        self._pending_opt = None
         self._summaries: Dict[str, float] = {}
         self._rng = jax.random.key(0)
 
@@ -88,6 +89,18 @@ class QAttentionBCAgent(Agent):
             if self._params is not None:
                 # weights were loaded before the first update -> keep them
                 self._state = self._state.replace(params=self._params)
+            if self._pending_opt is not None:
+                # resume: the checkpoint's optimizer state/step were loaded
+                # before any state existed (OfflineTrainRunner restores BEFORE
+                # the first update) — dropping them would restart the LAMB
+                # moments, the LR schedule, and the fold_in(rng, step)
+                # augmentation stream from step 0
+                step, opt_sd = self._pending_opt
+                restored = serialization.from_state_dict(
+                    self._state.opt_state, opt_sd)
+                self._state = TrainState(
+                    jnp.asarray(step, jnp.int32), self._state.params, restored)
+                self._pending_opt = None
             self._params = self._state.params
 
     # -- training ------------------------------------------------------------------
@@ -182,7 +195,10 @@ class QAttentionBCAgent(Agent):
         cont = np.asarray(out.continuous_action)
 
         if self._cfg.variant == "one_policy_more_heads":
-            head = 0 if which_arm in ("right", None) else 1
+            # match by arm suffix: the multiarm rollout passes
+            # 'multiarm_right'/'multiarm_left' (rollout.py), which must route
+            # to the same heads as plain 'right'/'left'
+            head = 0 if which_arm in ("right", "multiarm_right", None) else 1
             trans_idx, rot_grip = trans_idx[head], rot_grip[head]
             collision, att, cont = collision[head], att[head], cont[head]
 
@@ -252,14 +268,20 @@ class QAttentionBCAgent(Agent):
             serialization.from_state_dict(self._params, payload["params"])
             if self._params is not None else payload["params"]
         )
-        if self._training and "opt_state" in payload and self._state is not None:
-            restored_opt = serialization.from_state_dict(
-                self._state.opt_state, payload["opt_state"]
-            )
-            self._state = TrainState(
-                jnp.asarray(payload.get("step", 0), jnp.int32),
-                self._params, restored_opt,
-            )
+        if self._training and "opt_state" in payload:
+            if self._state is not None:
+                restored_opt = serialization.from_state_dict(
+                    self._state.opt_state, payload["opt_state"]
+                )
+                self._state = TrainState(
+                    jnp.asarray(payload.get("step", 0), jnp.int32),
+                    self._params, restored_opt,
+                )
+            else:
+                # no TrainState yet (resume path loads before the first
+                # update): stash and restore inside _ensure_state
+                self._pending_opt = (payload.get("step", 0),
+                                     payload["opt_state"])
 
     @property
     def params(self):

@@ -141,6 +141,7 @@ def build_replay_and_agent(cfg, lang_encoder=None, demos=None):
             crop_radius=m.crop_radius,
             arm_pred_loss=m.arm_pred_loss,
             arm_id_to_proprio=m.arm_id_to_proprio,
+            arm_pred_input=m.arm_pred_input,
             episode_length=cfg.rlbench.episode_length,
         )
         logging.info("replay filled: %s", counts)

@@ -27,6 +27,19 @@ from voxactb_tpu.utils.observation import extract_obs
 REWARD_SCALE = 100.0  # launch_utils.py:32
 
 
+def split_left_right_instruction(description: str):
+    """'<left-arm clause> and <right-arm clause>' -> (left, right) instruction
+    halves (utils.py:24-30). The reference asserts the 'left hand'/'right hand'
+    pattern; our scripted tasks don't all follow it, so fall back to the full
+    description for both arms when it is absent."""
+    parts = description.split(" and ")
+    left, right = parts[0], parts[-1]
+    if "left" in left and "right" in right and "right" not in left \
+            and "left" not in right:
+        return left, right
+    return description, description
+
+
 def quaternion_to_discrete_euler_np(quat: np.ndarray, resolution: int) -> np.ndarray:
     euler = Rotation.from_quat(quat).as_euler("xyz", degrees=True) + 180.0
     disc = np.around(euler / resolution).astype(np.int64)
@@ -99,6 +112,7 @@ def add_keypoints_to_replay(
     crop_radius=0.3,
     arm_pred_loss: bool = False,
     arm_id_to_proprio: bool = False,
+    arm_pred_input: bool = False,
     episode_length: int = 25,
     task_id: int = 0,
     task_name: str = "",
@@ -115,6 +129,13 @@ def add_keypoints_to_replay(
     else:
         sentence_emb = np.zeros((1, 1024), np.float32)
         token_embs = np.zeros((1, 77, 512), np.float32)
+    # multiarm conditions each keyframe on ITS arm's instruction half
+    # (launch_utils.py:368-376 via extract_left_and_right_arm_instruction)
+    per_arm_lang = None
+    if which_arm == "multiarm" and lang_encoder is not None:
+        left_d, right_d = split_left_right_instruction(description)
+        per_arm_lang = {"left": lang_encoder(left_d),
+                        "right": lang_encoder(right_d)}
 
     obs = demo_observations[start_frame]
     n_added = 0
@@ -149,21 +170,29 @@ def add_keypoints_to_replay(
         reward = REWARD_SCALE if terminal else 0.0
 
         keypoint_label = labels[k] if (labels is not None and
-                                       (arm_id_to_proprio or arm_pred_loss)) else None
+                                       (arm_id_to_proprio or arm_pred_loss or
+                                        arm_pred_input)) else None
+        # extract_obs never sees 'multiarm': the reference resolves it to the
+        # keyframe's arm first (launch_utils.py:368-383); arm_pred_input swaps
+        # the timestep channel for the arm id (utils.py:620-625)
         obs_dict = extract_obs(
             obs, cameras, t=k, episode_length=episode_length,
-            which_arm=which_arm,
-            keypoint_label=keypoint_label if arm_id_to_proprio else None,
+            which_arm=arm if which_arm == "multiarm" else which_arm,
+            keypoint_label=keypoint_label
+            if (arm_id_to_proprio or
+                (arm_pred_input and which_arm == "multiarm")) else None,
         )
 
+        s_emb, t_embs = (per_arm_lang[arm] if per_arm_lang is not None
+                         else (sentence_emb, token_embs))
         transition = {
             **obs_dict,
             "trans_action_indicies": trans,
             "rot_grip_action_indicies": rot_grip,
             "ignore_collisions": [ignore_coll],
             "gripper_pose": getattr(obs_tp1, f"gripper_{arm}_pose"),
-            "lang_goal_emb": sentence_emb[0],
-            "lang_token_embs": token_embs[0],
+            "lang_goal_emb": s_emb[0],
+            "lang_token_embs": t_embs[0],
             "reward": reward,
             "terminal": terminal,
             "timeout": False,
@@ -175,11 +204,13 @@ def add_keypoints_to_replay(
         if arm_pred_loss and labels is not None:
             transition["label"] = [labels[k]]
         if which_arm == "both":
-            other = "left" if arm == "right" else "right"
+            # 'both' is right-primary (arm == 'right' above), so the second
+            # discretization is always the LEFT arm's
             t2, rg2, _, _ = discretize_keyframe(
-                obs_tp1, obs_tm1, bounds, voxel_size, rotation_resolution, other)
-            transition["trans_action_indicies_left"] = t2 if other == "left" else trans
-            transition["rot_grip_action_indicies_left"] = rg2 if other == "left" else rot_grip
+                obs_tp1, obs_tm1, bounds, voxel_size, rotation_resolution,
+                "left")
+            transition["trans_action_indicies_left"] = t2
+            transition["rot_grip_action_indicies_left"] = rg2
             transition["gripper_pose_left"] = getattr(
                 obs_tp1, "gripper_left_pose")
 
@@ -213,6 +244,18 @@ def fill_replay(
     data scheme the reference trains on (launch_utils.py:577-596).
     """
     keypoint_cfg = keypoint_cfg or KeypointConfig()
+    # memoize text encodes: every augmentation start frame re-encodes the SAME
+    # demo description (and multiarm its two halves) — ~len(demo)/every_n
+    # redundant CLIP forwards per demo otherwise
+    if lang_encoder is not None:
+        _cache: Dict[str, tuple] = {}
+        _raw_encoder = lang_encoder
+
+        def lang_encoder(text, _c=_cache, _e=_raw_encoder):  # noqa: F811
+            if text not in _c:
+                _c[text] = _e(text)
+            return _c[text]
+
     total = 0
     for demo in demos:
         observations = demo.observations

@@ -103,17 +103,22 @@ class UniformReplayBuffer:
     def add(self, transition: Dict[str, np.ndarray]) -> int:
         """Insert one transition; unknown keys are ignored, missing keys zero-fill."""
         with self._lock:
-            idx = self._cursor
-            for name, arr in self._store.items():
-                if name in transition:
-                    arr[idx] = np.asarray(transition[name], arr.dtype).reshape(
-                        arr.shape[1:]
-                    )
-                else:
-                    arr[idx] = 0
-            self._cursor = (self._cursor + 1) % self._capacity
-            self._add_count += 1
-            return idx
+            return self._add_locked(transition)
+
+    def _add_locked(self, transition: Dict[str, np.ndarray]) -> int:
+        """Insertion body; subclasses extend this INSIDE the lock so their
+        bookkeeping stays in cursor order under concurrent adds."""
+        idx = self._cursor
+        for name, arr in self._store.items():
+            if name in transition:
+                arr[idx] = np.asarray(transition[name], arr.dtype).reshape(
+                    arr.shape[1:]
+                )
+            else:
+                arr[idx] = 0
+        self._cursor = (self._cursor + 1) % self._capacity
+        self._add_count += 1
+        return idx
 
     def extend(self, transitions: Sequence[Dict[str, np.ndarray]]) -> None:
         for t in transitions:
@@ -154,6 +159,9 @@ class UniformReplayBuffer:
             )
 
     def load(self, path: str) -> None:
+        # np.savez appends '.npz' when missing; accept the same bare path here
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
         data = np.load(path, allow_pickle=False)
         with self._lock:
             n = int(data["__add_count"])
@@ -174,17 +182,39 @@ class TaskUniformReplayBuffer(UniformReplayBuffer):
         super().__init__(capacity, signature, seed)
         self._task_indices: Dict[int, List[int]] = {}
 
-    def add(self, transition: Dict[str, np.ndarray]) -> int:
-        idx = super().add(transition)
+    def _add_locked(self, transition: Dict[str, np.ndarray]) -> int:
+        # single-lock with the store write: two-phase locking let concurrent
+        # fill workers append task indices out of cursor order, so the
+        # head-of-list eviction below missed stale entries after wraparound
+        idx = super()._add_locked(transition)
         task = int(transition.get("task_id", 0))
-        with self._lock:
-            # ring overwrite: evict the slot from any stale task list
-            if self._add_count > self._capacity:
-                for lst in self._task_indices.values():
-                    if lst and lst[0] == idx:
-                        lst.pop(0)
-            self._task_indices.setdefault(task, []).append(idx)
+        # ring overwrite: the slot being reused is the OLDEST live entry, so
+        # it sits at the head of whichever task list holds it
+        if self._add_count > self._capacity:
+            for lst in self._task_indices.values():
+                if lst and lst[0] == idx:
+                    lst.pop(0)
+                    break
+        self._task_indices.setdefault(task, []).append(idx)
         return idx
+
+    def load(self, path: str) -> None:
+        super().load(path)
+        with self._lock:
+            # rebuild per-task index lists in INSERTION order (cursor-first
+            # when wrapped) so head-of-list eviction stays correct
+            self._task_indices = {}
+            size = self.size
+            if size == 0:
+                return
+            if self._add_count > self._capacity:
+                order = list(range(self._cursor, size)) + \
+                    list(range(self._cursor))
+            else:
+                order = list(range(size))
+            tids = self._store["task_id"]
+            for i in order:
+                self._task_indices.setdefault(int(tids[i]), []).append(i)
 
     def sample_transition_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
         with self._lock:

@@ -42,9 +42,14 @@ def _arm_fields(obs, arm: str):
 
 
 def _gripper_no_change(demo, i, arm: str) -> bool:
-    """Gripper state stable across i-2..i+1 (demo_loading_utils.py:12-16)."""
-    if i >= len(demo) - 2 or i < 2:
-        return i < len(demo) - 2 and i >= 2
+    """Gripper state stable across i-2..i+1 (demo_loading_utils.py:12-16).
+
+    At i < 2 the indices i-1 / i-2 wrap to the demo's LAST frames — the
+    reference evaluates them with Python negative indexing, so exact parity
+    keeps the wrap (a demo resting at frames 0-1 whose gripper matches its
+    final frames counts as 'no change' there)."""
+    if i >= len(demo) - 2:
+        return False
     cur = _arm_fields(demo[i], arm)[0]
     return (
         cur == _arm_fields(demo[i + 1], arm)[0]
