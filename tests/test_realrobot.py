@@ -101,10 +101,11 @@ class FakeURController:
             q, tcp = self.q.copy(), self.tcp.copy()
         doubles = np.zeros(131)  # 1052-byte CB3-ish layout
         doubles[0] = time.time() % 1e6
-        doubles[RealtimeMonitor.Q_ACTUAL_OFFSET - 1:
-                RealtimeMonitor.Q_ACTUAL_OFFSET + 5] = q
-        doubles[RealtimeMonitor.TCP_OFFSET - 1:
-                RealtimeMonitor.TCP_OFFSET + 5] = tcp
+        # hard-code the DOCUMENTED UR realtime layout (time + 5 six-vectors
+        # before q_actual; tool_vector_actual at double 55) instead of reusing
+        # the parser's constants — a parser offset bug must fail this test
+        doubles[31:37] = q
+        doubles[55:61] = tcp
         payload = struct.pack(f">{len(doubles)}d", *doubles)
         return struct.pack(">i", 4 + len(payload)) + payload
 

@@ -10,7 +10,7 @@ from voxactb_tpu.vlm import (
     crop_point_from_mask,
     task_queries,
 )
-from voxactb_tpu.vlm.pipeline import JAR_Z_FALLBACK, voxel_downsample
+from voxactb_tpu.vlm.pipeline import JAR_FALLBACK_POINT, voxel_downsample
 
 
 def scene(rng, h=32, w=32, obj_center=(0.2, -0.1, 0.9), obj_size=0.06):
@@ -28,14 +28,25 @@ def test_crop_point_is_object_centroid(rng):
     _, pcd, mask = scene(rng)
     point, radius = crop_point_from_mask(mask, pcd)
     np.testing.assert_allclose(point, [0.2, -0.1, 0.9], atol=0.02)
-    # auto radius = half max extent + 5cm (vlm.py:182-192)
-    assert 0.05 < radius < 0.1
+    # auto radius = largest object dim + 5cm (vlm.py:182-192)
+    assert 0.05 < radius < 0.15
 
 
-def test_open_jar_z_fallback(rng):
+def test_open_jar_keeps_good_detection(rng):
+    """A plausibly-sized jar detection keeps its measured centroid — the
+    fallback must NOT overwrite a good measurement (the old unconditional
+    z-override put the crop 3.5cm under this repo's own jar height)."""
     _, pcd, mask = scene(rng)
     point, _ = crop_point_from_mask(mask, pcd, task_name="open_jar")
-    assert point[2] == pytest.approx(JAR_Z_FALLBACK)
+    np.testing.assert_allclose(point, [0.2, -0.1, 0.9], atol=0.02)
+
+
+def test_open_jar_fallback_on_implausible_detection(rng):
+    """vlm.py:177-180: an implausibly large 'jar' means the detector missed —
+    use the fixed workspace-center crop point."""
+    _, pcd, mask = scene(rng, obj_size=0.5)  # half-meter 'jar'
+    point, _ = crop_point_from_mask(mask, pcd, task_name="open_jar")
+    np.testing.assert_allclose(point, JAR_FALLBACK_POINT, atol=1e-6)
 
 
 def test_empty_mask_raises(rng):

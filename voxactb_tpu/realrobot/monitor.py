@@ -222,12 +222,14 @@ class RealtimeMonitor:
             return
         doubles = struct.unpack(f">{n_doubles}d", payload[: n_doubles * 8])
         with self._lock:
+            # doubles[0] is the controller time; q_actual occupies doubles
+            # [31:37] (1 time + 5 six-vectors before it), tool pose [55:61]
             self._timestamp = doubles[0]
-            self._q = np.array(doubles[self.Q_ACTUAL_OFFSET - 1:
-                                       self.Q_ACTUAL_OFFSET + 5])
-            if n_doubles >= self.TCP_OFFSET + 5:
-                self._tcp = np.array(doubles[self.TCP_OFFSET - 1:
-                                             self.TCP_OFFSET + 5])
+            self._q = np.array(doubles[self.Q_ACTUAL_OFFSET:
+                                       self.Q_ACTUAL_OFFSET + 6])
+            if n_doubles >= self.TCP_OFFSET + 6:
+                self._tcp = np.array(doubles[self.TCP_OFFSET:
+                                             self.TCP_OFFSET + 6])
 
     def q_actual(self) -> np.ndarray:
         with self._lock:

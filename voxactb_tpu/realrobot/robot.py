@@ -13,6 +13,7 @@ import time
 from typing import Optional, Sequence
 
 import numpy as np
+from scipy.spatial.transform import Rotation
 
 from voxactb_tpu.ops import geometry as G  # noqa: F401  (quaternion helpers for users)
 from voxactb_tpu.realrobot import urscript as urs
@@ -61,11 +62,14 @@ class URRobot:
         return self.secmon.get_state().joint_positions
 
     def get_pose(self) -> np.ndarray:
-        """TCP pose [x y z rx ry rz] in the user csys."""
+        """TCP pose [x y z rx ry rz] in the user csys (urx robot.py semantics:
+        the csys maps the FULL pose, orientation included)."""
         raw = (self.rtmon.tcp_pose() if self.rtmon is not None
                else self.secmon.get_state().tcp_pose)
-        t = np.linalg.inv(self.csys) @ np.concatenate([raw[:3], [1.0]])
-        return np.concatenate([t[:3], raw[3:]])
+        inv = np.linalg.inv(self.csys)
+        t = inv @ np.concatenate([raw[:3], [1.0]])
+        rot = Rotation.from_matrix(inv[:3, :3]) * Rotation.from_rotvec(raw[3:])
+        return np.concatenate([t[:3], rot.as_rotvec()])
 
     def set_csys(self, transform_4x4: np.ndarray) -> None:
         self.csys = np.asarray(transform_4x4, np.float64)
@@ -81,7 +85,9 @@ class URRobot:
     def _to_base(self, pose6: Sequence[float]) -> np.ndarray:
         p = np.asarray(pose6, np.float64)
         t = self.csys @ np.concatenate([p[:3], [1.0]])
-        return np.concatenate([t[:3], p[3:]])
+        rot = Rotation.from_matrix(self.csys[:3, :3]) \
+            * Rotation.from_rotvec(p[3:])
+        return np.concatenate([t[:3], rot.as_rotvec()])
 
     def movel(self, pose6: Sequence[float], acc=0.01, vel=0.01, wait=True,
               timeout=30.0, tol=5e-3) -> None:
@@ -102,12 +108,19 @@ class URRobot:
     def stopl(self, acc: float = 0.5) -> None:
         self.send_program(urs.stopl(acc))
 
-    def _wait_tcp(self, target6, timeout, tol) -> None:
+    def _wait_tcp(self, target6, timeout, tol, rot_tol=2e-2) -> None:
+        target6 = np.asarray(target6)
+        tq = axis_angle_to_quat(target6[3:])
         deadline = time.time() + timeout
         while time.time() < deadline:
             raw = (self.rtmon.tcp_pose() if self.rtmon is not None
                    else self.secmon.get_state().tcp_pose)
-            if np.linalg.norm(raw[:3] - np.asarray(target6)[:3]) < tol:
+            # both position AND orientation must converge: a rotation-dominant
+            # movel (e.g. the open-jar unscrew twist) is otherwise declared
+            # done instantly and the next program preempts it mid-rotation
+            ang = 2.0 * np.arccos(np.clip(
+                abs(float(np.dot(axis_angle_to_quat(raw[3:]), tq))), 0.0, 1.0))
+            if np.linalg.norm(raw[:3] - target6[:3]) < tol and ang < rot_tol:
                 return
             time.sleep(0.01)
         raise TimeoutError(f"movel did not converge to {target6[:3]}")
@@ -125,10 +138,16 @@ class URRobot:
     def gripper_activate(self) -> None:
         self.send_program(urs.robotiq_activate())
 
-    def gripper_set(self, open_amount: float) -> None:
-        """1.0 = fully open, 0.0 = fully closed."""
+    def gripper_set(self, open_amount: float, wait: bool = True,
+                    settle_s: float = 1.0) -> None:
+        """1.0 = fully open, 0.0 = fully closed. ``wait`` blocks for the finger
+        travel time — the Robotiq program has no completion feedback over this
+        channel, and the NEXT program load would preempt it mid-actuation
+        (urx sleeps after gripper commands for the same reason)."""
         pos = int(round((1.0 - float(np.clip(open_amount, 0, 1))) * 255))
         self.send_program(urs.robotiq_set_position(pos))
+        if wait:
+            time.sleep(settle_s)
 
     def close(self) -> None:
         self.secmon.close()
@@ -158,7 +177,7 @@ class BimanualURRobot:
         pose6 = np.concatenate([np.asarray(position, np.float64), rv])
         robot = self.arm(which)
         robot.movel(pose6, acc=acc, vel=vel, wait=wait)
-        robot.gripper_set(gripper_open)
+        robot.gripper_set(gripper_open, wait=wait)
 
     def observation(self) -> dict:
         """Sim-proprio-shaped state (eval_real.py:267-364 UR5Robot.get_obs)."""

@@ -92,7 +92,13 @@ class RealRobotEnv(BimanualEnv):
         task_name: str = "",
         episode_length: int = 25,
         dominant_arm: str = "right",
+        lang_encoder: Optional[Callable] = None,
+        description: str = "",
     ):
+        """``lang_encoder``: text -> (sentence_emb [1,1024], token_embs
+        [1,77,512]) — the same contract the sim env and replay fill use; when
+        absent the observation carries raw BPE ``lang_goal_tokens`` for agents
+        built with their own encoder (eval_real.py passes CLIP embeddings)."""
         self._robots = robots
         self._cameras = cameras
         self._extrinsics = extrinsics
@@ -101,8 +107,11 @@ class RealRobotEnv(BimanualEnv):
         self._task_name = task_name
         self._episode_length = episode_length
         self._dominant_arm = dominant_arm
+        self._lang_encoder = lang_encoder
+        self._description = description or task_name.replace("_", " ")
         self._step_count = 0
         self._crop: Optional[Tuple[np.ndarray, float]] = None
+        self._grip = {"right": 1.0, "left": 1.0}
 
     def launch(self) -> None:
         pass
@@ -110,6 +119,7 @@ class RealRobotEnv(BimanualEnv):
     def reset(self) -> Dict:
         self._step_count = 0
         self._crop = None
+        self._grip = {"right": 1.0, "left": 1.0}
         return self._observation()
 
     def step(self, action, which_arm: str) -> Transition:
@@ -125,6 +135,9 @@ class RealRobotEnv(BimanualEnv):
         T = self._extrinsics[arm]
         base_pos = (T @ np.concatenate([position, [1.0]]))[:3]
         self._robots.move_arm(arm, base_pos, quat, gripper_open=grip)
+        # no gripper feedback channel: track the COMMANDED grip so proprio
+        # reflects the grasp state the policy was trained on
+        self._grip[arm] = 1.0 if grip > 0.5 else 0.0
         self._step_count += 1
         terminal = self._step_count >= self._episode_length
         return Transition(self._observation(), 0.0, terminal,
@@ -163,12 +176,33 @@ class RealRobotEnv(BimanualEnv):
         robot_obs = self._robots.observation()
         t = self._step_count
         time_ch = (1.0 - t / max(1, self._episode_length - 1)) * 2.0 - 1.0
+        states = {}
         for side in ("right", "left"):
             pose = robot_obs[f"gripper_{side}_pose"]
             obs[f"gripper_{side}_pose"] = pose
-            state = np.array([1.0, 0.02, 0.02, time_ch, 0.0], np.float32)
-            obs[f"low_dim_state_{side}_arm"] = state[None, :5 if side == "right"
-                                                     else 4]
+            g = self._grip[side]
+            fingers = 0.04 * g  # commanded grip -> finger estimate [0, 0.04]
+            states[side] = np.array([g, fingers, fingers], np.float32)
+            tail = [time_ch, 0.0] if side == "right" else [time_ch]
+            obs[f"low_dim_state_{side}_arm"] = np.concatenate(
+                [states[side], tail]).astype(np.float32)[None]
+        # combined proprio for dominant/assistive agents (same layout the sim
+        # env emits: left gripper state then the right arm's full vector)
+        obs["low_dim_state"] = np.concatenate(
+            [states["left"],
+             np.asarray(obs["low_dim_state_right_arm"][0])]).astype(
+                 np.float32)[None]
+        obs["lang_goal"] = self._description
+        if self._lang_encoder is not None:
+            # same contract as the sim env (environment.py:426-428)
+            sent, tok = self._lang_encoder(self._description)
+            obs["lang_goal_emb"] = sent
+            obs["lang_token_embs"] = tok
+        else:
+            from voxactb_tpu.utils.bpe import SimpleTokenizer
+
+            obs["lang_goal_tokens"] = np.asarray(
+                SimpleTokenizer().tokenize(self._description))
         return obs
 
 
@@ -227,4 +261,8 @@ def select_best_checkpoint(agent, weightsdir: str, val_transitions, which_arm: s
             writer.write(row)
         if score < best_score:
             best_step, best_score, best_row = step, score, row
+    if best_step >= 0:
+        # leave the agent holding the WINNER, not the last swept checkpoint —
+        # callers go live with this agent (eval_real.py's select-then-execute)
+        agent.load_weights(os.path.join(weightsdir, str(best_step)))
     return best_step, best_row

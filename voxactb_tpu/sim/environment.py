@@ -394,8 +394,10 @@ class BimanualTaskEnvironment(BimanualEnv):
         if target and getattr(self.backend, "has_object", lambda n: False)(target):
             o.target_object_pos = self.backend.get_object(
                 target).position.astype(np.float32)
+            # reference auto radius = largest object dim + 5cm padding
+            # (vlm.py:182-192 — the full dim, not the half-extent)
             o.auto_crop_radius = float(
-                self.backend.get_object(target).size.max() / 2 + 0.05)
+                self.backend.get_object(target).size.max() + 0.05)
         return o
 
     def _observation_dict(self) -> Dict:

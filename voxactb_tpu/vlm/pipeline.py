@@ -32,7 +32,10 @@ TASK_QUERIES: Dict[str, str] = {
     "hand_over_item": "item",
 }
 
-JAR_Z_FALLBACK = 0.775  # tabletop jar center height fallback (vlm.py:177-180)
+# failed-jar-detection fallback: the reference's fixed workspace-center crop
+# point (vlm.py:177-180), applied only when the detection is implausibly large
+JAR_FALLBACK_POINT = np.array([0.27462014, -0.00487481, 0.81258505], np.float32)
+JAR_MAX_PLAUSIBLE_DIM = 0.15  # vlm.py:177's bbox>0.15 guard, in meters
 AUTO_RADIUS_PADDING = 0.05  # +5cm (vlm.py:182-192)
 
 
@@ -63,9 +66,10 @@ def crop_point_from_mask(
 ) -> Tuple[np.ndarray, float]:
     """Boolean mask [H,W] + cloud [H,W,3] -> (crop point [3], auto crop radius).
 
-    Mirrors vlm.py:152-194: masked points are voxel-downsampled, the centroid is the
-    crop point (OpenJar overrides z with the tabletop fallback), and the auto radius
-    is half the largest axis extent of the object plus 5cm padding.
+    Mirrors vlm.py:152-194: masked points are voxel-downsampled, the centroid is
+    the crop point (OpenJar falls back to the fixed workspace-center point when
+    the detection is implausibly large), and the auto radius is the largest
+    axis extent of the object plus 5cm padding (vlm.py:182-192).
     """
     pts = point_cloud[mask.astype(bool)].reshape(-1, 3)
     pts = pts[np.isfinite(pts).all(-1)]
@@ -74,11 +78,15 @@ def crop_point_from_mask(
     pts = voxel_downsample(pts, downsample_voxel)
 
     center = pts.mean(0)
-    if task_name == "open_jar":
-        center = np.array([center[0], center[1], JAR_Z_FALLBACK], np.float32)
-
     extents = pts.max(0) - pts.min(0)
-    radius = float(extents.max() / 2.0 + AUTO_RADIUS_PADDING)
+    if task_name == "open_jar" and extents[:2].max() > JAR_MAX_PLAUSIBLE_DIM:
+        # detector latched onto something jar-sized-ly implausible: fall back
+        # to the fixed workspace-center crop point, exactly like the
+        # reference's bbox>0.15 guard (vlm.py:177-180) — a GOOD detection
+        # keeps its measured centroid, z included
+        center = JAR_FALLBACK_POINT.copy()
+
+    radius = float(extents.max() + AUTO_RADIUS_PADDING)
     return center.astype(np.float32), radius
 
 

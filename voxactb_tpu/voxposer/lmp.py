@@ -18,6 +18,7 @@ import hashlib
 import json
 import os
 import pickle
+import re
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional, Protocol
 
@@ -194,7 +195,11 @@ class LMP:
         code = self._cache.get(key)
         if code is None:
             code = self._backend(prompt, self._cfg.stop)
-            code = code.replace("```", "").replace("python", "").strip()
+            # strip markdown fences only — the reference's blanket
+            # .replace('python', '') (LMP.py:107) also corrupts occurrences
+            # INSIDE the program (e.g. detect('python toy')) and caches the
+            # damage; limit the strip to a fence-attached language tag
+            code = re.sub(r"```(?:python)?", "", code).strip()
             self._cache.put(key, code)
 
         gvars = merge_dicts([self._fixed_vars, self._variable_vars, extra_vars])

@@ -23,7 +23,7 @@ class PlannerConfig:
     """voxposer/configs/rlbench_config.yaml planner group defaults."""
 
     max_steps: int = 300
-    stop_threshold: float = 0.01
+    stop_threshold: float = 0.001  # rlbench_config.yaml:4
     target_map_weight: float = 1.0
     obstacle_map_weight: float = 1.0
     obstacle_map_gaussian_sigma: float = 5.0
@@ -101,7 +101,11 @@ class GreedyPathPlanner:
         return processed, info
 
     def _should_stop(self, pos, costmap, object_centric) -> bool:
-        """Stop when no neighbor is meaningfully cheaper (planners.py:89-102)."""
+        """Stop when NO neighbor costs less than current + stop_threshold —
+        i.e. the walk sits at a strict local minimum by margin theta
+        (planners.py:90-102 no_nearby_equal_criteria, threshold sign included;
+        on an EDT costmap the per-voxel deltas near the target exceed 0.001,
+        so this terminates at the minimum rather than wandering)."""
         cur = np.round(pos).clip(0, self.map_size - 1).astype(int)
         current_cost = costmap[cur[0], cur[1], cur[2]]
         nearby = self._nearby(pos, object_centric=False)
