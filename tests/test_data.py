@@ -163,6 +163,46 @@ def test_fill_replay_multiarm_runs_and_routes_per_keyframe_arm(rng):
     assert "open the lid with right hand" in calls
 
 
+def test_two_head_pipeline_proprio_contract(rng):
+    """Regression: the fill -> replay -> two-head train step shapes must line
+    up END TO END (the unit tests hand-built an 8-wide proprio, hiding that
+    extract_obs('both') never emitted low_dim_state and the replay column was
+    4-wide zero-fill -> perceiver reshape(b,2,4) crash)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxactb_tpu.agents.qfunction import make_optimizer, make_train_step
+    from voxactb_tpu.config import MethodConfig
+
+    cfg = MethodConfig(
+        voxel_sizes=[10], num_latents=16, latent_dim=32, transformer_depth=1,
+        cross_dim_head=16, latent_dim_head=16, final_dim=8,
+        which_arm="both", variant="one_policy_more_heads", apply_se3=False,
+    )
+    assert cfg.proprio_width() == 8
+    sig = bc_replay_signature(["wrist", "wrist2"], (8, 8),
+                              low_dim_size=cfg.proprio_width(), two_arm=True)
+    buf = TaskUniformReplayBuffer(64, sig)
+    n = fill_replay(
+        buf, [synth_demo(rng)], ["wrist", "wrist2"],
+        [-0.8, -1.0, 0.1, 1.2, 1.0, 2.1],
+        voxel_size=10, rotation_resolution=5, which_arm="both",
+    )
+    assert n > 0
+    batch = buf.sample_transition_batch(2)
+    assert batch["low_dim_state"].shape == (2, 8)
+    assert np.abs(batch["low_dim_state"]).sum() > 0  # not zero-filled
+
+    batch["scene_bounds"] = np.asarray(
+        [-0.8, -1.0, 0.1, 1.2, 1.0, 2.1], np.float32)
+    opt = make_optimizer(cfg, 100)
+    _, init_fn, step_fn = make_train_step(cfg, opt, ["wrist", "wrist2"])
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = init_fn(jax.random.key(0), jbatch)
+    state, metrics = step_fn(state, jbatch, jax.random.key(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
 def test_fill_replay_both_arms_routes_labels_per_arm(rng):
     """Regression: which_arm='both' is right-primary — the main action keys must
     store the RIGHT arm's discretized pose and the *_left keys the LEFT arm's."""

@@ -46,3 +46,17 @@ def test_grad_flows(rng):
     bias = jnp.zeros((cout,), jnp.float32)
     g = jax.grad(lambda k: jnp.sum(upsample_conv(x, k, bias, s) ** 2))(kernel)
     assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+
+def test_small_scale_falls_back_to_exact(rng):
+    """Regression: scale=2 with k=5 reaches beyond the +-1 neighbor cell and
+    the phase tap matrix clamps it (interior err 0.46) — the fast path must
+    route such scales through the exact resize+conv instead."""
+    b, d, cin, cout, s = 1, 5, 2, 2, 2
+    x = jnp.asarray(rng.normal(size=(b, d, d, d, cin)).astype(np.float32))
+    kernel = jnp.asarray(
+        rng.normal(size=(5, 5, 5, cin, cout)).astype(np.float32) * 0.1)
+    bias = jnp.zeros((cout,), jnp.float32)
+    fast = np.asarray(upsample_conv(x, kernel, bias, s))
+    exact = np.asarray(reference_upsample_conv(x, kernel, bias, s))
+    np.testing.assert_allclose(fast, exact, atol=1e-5)

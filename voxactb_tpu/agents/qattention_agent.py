@@ -155,11 +155,21 @@ class QAttentionBCAgent(Agent):
         elif which_arm in ("left", "multiarm_left"):
             proprio = np.asarray(
                 observation["low_dim_state_left_arm"], np.float32).reshape(1, -1)
+        elif self._cfg.variant == "one_policy_more_heads" \
+                and "low_dim_state_right_arm" in observation:
+            # two-head proprio = right(4) then left(4) per-arm states — the
+            # env's combined low_dim_state uses the dominant layout instead
+            w = self._cfg.low_dim_size()
+            proprio = np.concatenate([
+                np.asarray(observation["low_dim_state_right_arm"],
+                           np.float32).reshape(1, -1)[:, :w],
+                np.asarray(observation["low_dim_state_left_arm"],
+                           np.float32).reshape(1, -1)[:, :w]], -1)
         else:
             proprio = np.asarray(observation["low_dim_state"], np.float32).reshape(1, -1)
         # envs may carry extra trailing channels (e.g. the arm-id slot) that a given
         # arm-mode config doesn't consume — keep exactly the configured width
-        proprio = proprio[:, : self._cfg.low_dim_size()]
+        proprio = proprio[:, : self._cfg.proprio_width()]
 
         rgbs = tuple(
             np.asarray(observation[f"{c}_rgb"], np.float32).reshape(

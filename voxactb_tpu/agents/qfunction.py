@@ -29,7 +29,7 @@ from voxactb_tpu.config import MethodConfig
 from voxactb_tpu.models.perceiver import PerceiverVoxelLangEncoder
 from voxactb_tpu.ops import geometry as G
 from voxactb_tpu.ops.augmentation import Se3AugConfig, apply_se3_augmentation
-from voxactb_tpu.ops.voxelize import voxelize
+from voxactb_tpu.ops.voxelize import flatten_camera_observations, voxelize
 
 
 def build_encoder(cfg: MethodConfig, low_dim_size: Optional[int] = None
@@ -179,10 +179,8 @@ def make_infer_fn(cfg: MethodConfig, low_dim_size: Optional[int] = None):
               proprio, lang_goal_emb, lang_token_embs, bounds) -> InferOutput:
         b = pcds[0].shape[0]
         bounds = jnp.broadcast_to(jnp.asarray(bounds, jnp.float32), (b, 6))
-        coords = jnp.concatenate([p.reshape(b, -1, 3) for p in pcds], 1)
-        feats = jnp.concatenate(
-            [normalize_rgb(r).reshape(b, -1, 3) for r in rgbs], 1
-        )
+        coords, feats = flatten_camera_observations(
+            [normalize_rgb(r) for r in rgbs], pcds)
         out, grid = apply_with_front(cfg, model, params, coords, feats, bounds,
                                      proprio, lang_goal_emb, lang_token_embs)
 
@@ -257,7 +255,14 @@ def make_optimizer(cfg: MethodConfig, training_iterations: int = 1_000_000):
     if cfg.optimizer == "lamb":
         return optax.lamb(lr, b1=0.9, b2=0.999, weight_decay=cfg.lambda_weight_l2)
     if cfg.optimizer == "adam":
-        return optax.adamw(lr, weight_decay=cfg.lambda_weight_l2)
+        # torch.optim.Adam(weight_decay=..) couples the L2 term THROUGH the
+        # adaptive moments (g + wd*p before scale_by_adam) — adamw's decoupled
+        # decay is a different update rule
+        return optax.chain(
+            optax.add_decayed_weights(cfg.lambda_weight_l2),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(lr),
+        )
     raise ValueError(f"Unknown optimizer type {cfg.optimizer!r}")
 
 
@@ -289,7 +294,6 @@ def make_train_step(cfg: MethodConfig, optimizer, camera_names: Sequence[str],
         rot_range_deg=tuple(cfg.aug_rpy),
         rot_resolution_deg=cfg.aug_rot_resolution,
     )
-    scene_bounds_static = None  # supplied per-batch
 
     def loss_fn(params, batch, bounds, rng):
         rng_aug, rng_drop = jax.random.split(rng)
@@ -318,8 +322,7 @@ def make_train_step(cfg: MethodConfig, optimizer, camera_names: Sequence[str],
                 trans_labels_l = aug.trans_indices_left
                 rot_grip_labels_l = aug.rot_grip_indices_left
 
-        coords = jnp.concatenate([p.reshape(b, -1, 3) for p in pcds], 1)
-        feats = jnp.concatenate([r.reshape(b, -1, 3) for r in rgbs], 1)
+        coords, feats = flatten_camera_observations(rgbs, pcds)
         grid = voxelize(coords, feats, bounds, voxel_size=n)
 
         def apply(p, g, low_dim, lang_emb, lang_toks, key):

@@ -45,7 +45,7 @@ def build_replay_and_agent(cfg, lang_encoder=None, demos=None):
     m = cfg.method
     sig = bc_replay_signature(
         cfg.rlbench.cameras, tuple(cfg.rlbench.camera_resolution),
-        low_dim_size=m.low_dim_size(),
+        low_dim_size=m.proprio_width(),
         crop_target_obj_voxel=m.crop_target_obj_voxel,
         arm_pred_loss=m.arm_pred_loss,
         two_arm=m.which_arm == "both",

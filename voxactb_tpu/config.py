@@ -124,6 +124,13 @@ class MethodConfig:
             return 4
         return 8 if self.arm_id_to_proprio else 7
 
+    def proprio_width(self) -> int:
+        """Total proprio vector width the encoder consumes: the two-head
+        variant stacks BOTH arms' per-arm states (right then left,
+        perceiver_lang_io.py:584-600's proprio_right/proprio_left pair)."""
+        return self.low_dim_size() * (
+            2 if self.variant == "one_policy_more_heads" else 1)
+
 
 @dataclass
 class ReplayConfig:

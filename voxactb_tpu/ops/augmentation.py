@@ -67,7 +67,12 @@ def _sample_candidates(rng, cfg: Se3AugConfig, bounds, b):
     )
     draw = jax.random.randint(rng_r, (k, b, 3), -steps, steps + 1)
     euler_rad = jnp.deg2rad(draw.astype(jnp.float32) * cfg.rot_resolution_deg)
-    rot = G.euler_xyz_to_rotmat(euler_rad)
+    # the reference composes Rx(roll)@Ry(pitch)@Rz(yaw) — pytorch3d
+    # euler_angles_to_matrix(.., "XYZ"), augmentation.py:142 — which equals
+    # transpose(Rz(-yaw)@Ry(-pitch)@Rx(-roll)); identical to the scipy-xyz
+    # composition for single-axis draws (the default yaw-only aug) but not
+    # for multi-axis rot_range settings
+    rot = jnp.swapaxes(G.euler_xyz_to_rotmat(-euler_rad), -1, -2)
 
     ident_t = jnp.zeros((1, b, 3), jnp.float32)
     ident_r = jnp.broadcast_to(jnp.eye(3), (1, b, 3, 3))

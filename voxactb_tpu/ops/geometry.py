@@ -176,6 +176,12 @@ def point_to_voxel_index(
     Mirrors helpers/utils.py:104-116: ``res = range / (N + eps)``;
     ``idx = clip(floor((p - mins) / (res + eps)), 0, N - 1)``. ``point`` broadcasts over
     leading axes; ``coord_bounds`` is a 6-vector (or broadcastable) [mins, maxs].
+
+    DELIBERATE deviation: the reference clamps only from above, so a keyframe
+    below the (crop) bounds yields a negative index that fails loudly in its
+    torch one-hot; jnp would silently WRAP a negative label instead, which is
+    worse — we clamp to 0 (the augmentation path that needs the reference's
+    unclamped floor uses ``_unclamped_voxel_floor`` in ops/augmentation.py).
     """
     bb_mins = coord_bounds[..., 0:3]
     bb_maxs = coord_bounds[..., 3:6]

@@ -78,6 +78,14 @@ def upsample_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     x: [B, D, D, D, Cin]; kernel: [k,k,k,Cin,Cout]; returns [B, sD, sD, sD, Cout].
     """
     b, d, _, _, cin = x.shape
+    k = kernel.shape[0]
+    if scale < k // 2 + 1:
+        # the phase decomposition folds each conv tap into one of 3 coarse
+        # cells; at scale < k//2+1 an interior tap reaches BEYOND the +-1
+        # neighbor cell and the tap matrix clamps it (wrong output everywhere,
+        # numerically reproduced at scale=2/k=5: interior err 0.46) — take the
+        # exact resize+conv path instead
+        return reference_upsample_conv(x, kernel, bias, scale)
     cout = kernel.shape[-1]
     comp = compose_upsample_kernel(kernel, scale)
 

@@ -153,18 +153,27 @@ def make_parallel_train_step(mesh: Mesh, init_fn, train_step, example_batch,
         }
 
     state = init_fn(rng, example_batch)
+    # the optimizer moments (LAMB/Adam mu+nu) are ~2x the param bytes and
+    # mirror the param tree inside the opt state, so they shard by the SAME
+    # rules — replicating them forfeits most of the ZeRO memory win. The tp
+    # path rules substring-match, so the longer opt-state paths (.../mu/
+    # params/...) hit the same specs; scalars (count) fall through to P().
     if model_parallel:
         param_shards = shard_params_model_parallel(mesh, state.params)
+        opt_shards = shard_params_model_parallel(mesh, state.opt_state)
         state = state.replace(
             params=jax.tree.map(jax.device_put, state.params, param_shards),
-            opt_state=jax.device_put(state.opt_state, replicate(mesh)),
+            opt_state=jax.tree.map(jax.device_put, state.opt_state,
+                                   opt_shards),
             step=jax.device_put(state.step, replicate(mesh)),
         )
     elif fsdp and "fsdp" in mesh.axis_names:
         param_shards = shard_params_fsdp(mesh, state.params)
+        opt_shards = shard_params_fsdp(mesh, state.opt_state)
         state = state.replace(
             params=jax.tree.map(jax.device_put, state.params, param_shards),
-            opt_state=jax.device_put(state.opt_state, replicate(mesh)),
+            opt_state=jax.tree.map(jax.device_put, state.opt_state,
+                                   opt_shards),
             step=jax.device_put(state.step, replicate(mesh)),
         )
     else:

@@ -99,6 +99,12 @@ def extract_obs(
     if which_arm == "both":
         for k in ("low_dim_state_right_arm", "low_dim_state_left_arm"):
             out[k] = np.concatenate([out[k], [time_channel]]).astype(np.float32)
+        # the two-head encoder consumes ONE stacked vector (right then left,
+        # 4 each — perceiver_lang_io.py:584-600's proprio pair); store it so
+        # the replay's low_dim_state column is not zero-filled for 'both'
+        out["low_dim_state"] = np.concatenate(
+            [out["low_dim_state_right_arm"],
+             out["low_dim_state_left_arm"]]).astype(np.float32)
     elif keypoint_label is None:
         out["low_dim_state"] = np.concatenate(
             [robot_state, [time_channel]]).astype(np.float32)
