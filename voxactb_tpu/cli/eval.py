@@ -92,8 +92,10 @@ def main(argv=None, env=None):
                    if cfg.method.which_arm in ("dominant", "assistive")
                    else cfg.method.which_arm),
         crop_target_obj_voxel=cfg.method.crop_target_obj_voxel,
-        crop_radius=(cfg.method.crop_radius
-                     if isinstance(cfg.method.crop_radius, float) else 0.3),
+        crop_radius=(float(cfg.method.crop_radius)
+                     if isinstance(cfg.method.crop_radius, (int, float))
+                     and not isinstance(cfg.method.crop_radius, bool)
+                     else 0.3),
         auto_crop=cfg.method.crop_radius == "auto",
         eval_from_eps_number=cfg.framework.eval_from_eps_number,
     )

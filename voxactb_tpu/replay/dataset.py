@@ -31,33 +31,48 @@ class PrefetchIterator:
         self._sharding = sharding
         self._augment_fn = augment_fn
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._error: Optional[BaseException] = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
-        while not self._stop.is_set():
-            batch = self._sample_fn()
-            if self._augment_fn is not None:
-                batch = self._augment_fn(batch)
-            if self._sharding is not None:
-                batch = {k: jax.device_put(v, self._sharding) for k, v in batch.items()}
-            else:
-                batch = {k: jax.device_put(v) for k, v in batch.items()}
+        try:
             while not self._stop.is_set():
-                try:
-                    self._queue.put(batch, timeout=0.2)
-                    break
-                except queue.Full:
-                    continue
+                batch = self._sample_fn()
+                if self._augment_fn is not None:
+                    batch = self._augment_fn(batch)
+                if self._sharding is not None:
+                    batch = {k: jax.device_put(v, self._sharding)
+                             for k, v in batch.items()}
+                else:
+                    batch = {k: jax.device_put(v) for k, v in batch.items()}
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
+            # a silently-dead worker would hang the train loop forever on an
+            # un-timed queue.get(); forward the failure to the consumer
+            self._error = e
+            self._stop.set()
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         return self
 
     def __next__(self) -> Dict[str, jax.Array]:
-        if self._stop.is_set():
-            raise StopIteration
-        return self._queue.get()
+        while True:
+            if self._error is not None:
+                raise RuntimeError("replay prefetch worker failed") \
+                    from self._error
+            if self._stop.is_set():
+                raise StopIteration
+            try:
+                return self._queue.get(timeout=1.0)
+            except queue.Empty:
+                continue
 
     def close(self):
         self._stop.set()

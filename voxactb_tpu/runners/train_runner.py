@@ -51,9 +51,11 @@ class OfflineTrainRunner:
     # -- checkpoints ------------------------------------------------------------------
 
     def _existing_weight_steps(self):
-        if not os.path.isdir(self._weightsdir):
+        from voxactb_tpu.runners.eval_runner import existing_weight_steps
+
+        if self._weightsdir is None:  # log-only run (weights never saved)
             return []
-        return sorted(int(d) for d in os.listdir(self._weightsdir) if d.isdigit())
+        return existing_weight_steps(self._weightsdir)
 
     def _save_model(self, step: int) -> None:
         d = os.path.join(self._weightsdir, str(step))

@@ -86,11 +86,22 @@ class ObjectDisplacedCondition(Condition):
 
 
 class ConditionSet(Condition):
+    """All conditions must hold; with ``order_matters`` each must first be
+    seen satisfied in sequence (rlbench/backend/conditions.py ConditionSet:
+    a latch advances only when the next condition in order fires)."""
+
     def __init__(self, conditions: Sequence[Condition], order_matters: bool = False):
         self._conditions = list(conditions)
+        self._order_matters = order_matters
+        self._latched = 0
 
     def satisfied(self, backend: SimBackend) -> bool:
-        return all(c.satisfied(backend) for c in self._conditions)
+        if not self._order_matters:
+            return all(c.satisfied(backend) for c in self._conditions)
+        while (self._latched < len(self._conditions)
+               and self._conditions[self._latched].satisfied(backend)):
+            self._latched += 1
+        return self._latched == len(self._conditions)
 
 
 @dataclass
@@ -103,7 +114,5 @@ class GripperNearCondition(Condition):
     tol: float = 0.05
 
     def satisfied(self, backend: SimBackend) -> bool:
-        import numpy as np
-
         tcp = backend.arm(self.arm).tcp_position
         return float(np.linalg.norm(tcp - np.asarray(self.target))) <= self.tol

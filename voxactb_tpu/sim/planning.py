@@ -17,8 +17,9 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
-def segment_hits_aabb(p0, p1, aabb, margin: float = 0.0) -> bool:
-    """Slab test: does the segment p0->p1 intersect the (inflated) box?"""
+def segment_aabb_entry(p0, p1, aabb, margin: float = 0.0) -> Optional[float]:
+    """Slab test: the entry parameter t in [0,1] where p0->p1 first enters the
+    (inflated) box, or None when the segment misses it."""
     p0 = np.asarray(p0, np.float64)
     p1 = np.asarray(p1, np.float64)
     lo = np.asarray(aabb[:3], np.float64) - margin
@@ -28,7 +29,7 @@ def segment_hits_aabb(p0, p1, aabb, margin: float = 0.0) -> bool:
     for ax in range(3):
         if abs(d[ax]) < 1e-12:
             if p0[ax] < lo[ax] or p0[ax] > hi[ax]:
-                return False
+                return None
             continue
         t1 = (lo[ax] - p0[ax]) / d[ax]
         t2 = (hi[ax] - p0[ax]) / d[ax]
@@ -37,8 +38,13 @@ def segment_hits_aabb(p0, p1, aabb, margin: float = 0.0) -> bool:
         tmin = max(tmin, t1)
         tmax = min(tmax, t2)
         if tmin > tmax:
-            return False
-    return True
+            return None
+    return tmin
+
+
+def segment_hits_aabb(p0, p1, aabb, margin: float = 0.0) -> bool:
+    """Slab test: does the segment p0->p1 intersect the (inflated) box?"""
+    return segment_aabb_entry(p0, p1, aabb, margin) is not None
 
 
 def _point_in_aabb(p, aabb, margin: float) -> bool:
@@ -47,14 +53,13 @@ def _point_in_aabb(p, aabb, margin: float) -> bool:
 
 
 def _first_blocker(p0, p1, obstacles, margin):
-    """Nearest obstacle (by entry point along the segment) hit by p0->p1."""
-    best, best_d = None, np.inf
+    """Nearest obstacle by ENTRY PARAMETER along the segment (not by center
+    distance — a large box pierced first can have a far-away center)."""
+    best, best_t = None, np.inf
     for box in obstacles:
-        if segment_hits_aabb(p0, p1, box, margin):
-            d = np.linalg.norm(
-                (np.asarray(box[:3]) + np.asarray(box[3:])) / 2 - np.asarray(p0))
-            if d < best_d:
-                best, best_d = box, d
+        t = segment_aabb_entry(p0, p1, box, margin)
+        if t is not None and t < best_t:
+            best, best_t = box, t
     return best
 
 

@@ -73,7 +73,13 @@ class RecoveringEnv(BimanualEnv):
     def reset(self):
         for _ in range(self._max_restarts + 1):
             try:
-                return self._env.reset()
+                out = self._env.reset()
+                # the restart budget is PER INCIDENT (the reference restarts
+                # the sim as often as needed across a run,
+                # custom_rlbench_env_two_robots.py:328-368) — a success
+                # re-arms it
+                self.restarts = 0
+                return out
             except Exception:  # noqa: BLE001
                 self._restart()
         raise RuntimeError("unreachable")
@@ -81,7 +87,9 @@ class RecoveringEnv(BimanualEnv):
     def reset_to_demo(self, i: int):
         for _ in range(self._max_restarts + 1):
             try:
-                return self._env.reset_to_demo(i)
+                out = self._env.reset_to_demo(i)
+                self.restarts = 0
+                return out
             except Exception:  # noqa: BLE001
                 self._restart()
         raise RuntimeError("unreachable")
@@ -93,7 +101,9 @@ class RecoveringEnv(BimanualEnv):
             # a crashed step ends the episode; the runner resets (and we restart)
             logging.warning("env.step crashed (%s); ending episode", e)
             self._restart()
-            return Transition(self._env.reset(), 0.0, True,
+            # self.reset() (not self._env.reset()): the fresh env's first
+            # reset can itself fail and must go through the retry path too
+            return Transition(self.reset(), 0.0, True,
                               info={"needs_reset": True, "env_crash": True})
 
     # passthroughs -------------------------------------------------------------
@@ -106,6 +116,13 @@ class RecoveringEnv(BimanualEnv):
 
     def dominant_arm(self):
         return self._env.dominant_arm()
+
+    @property
+    def task_name(self):
+        # without this passthrough the base-class default '' masks the task
+        # identity and task-keyed rollout heuristics (e.g. the OpenJar gripper
+        # switch, rollout.py) silently disable
+        return getattr(self._env, "task_name", "")
 
     @property
     def env_language_goal(self):
