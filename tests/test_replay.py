@@ -1,6 +1,7 @@
 """Replay buffers: signature, ring semantics, task-uniform sampling, persistence."""
 
 import numpy as np
+import pytest
 
 from voxactb_tpu.replay import (
     TaskUniformReplayBuffer,
@@ -106,3 +107,39 @@ def test_prefetch_iterator(rng):
             assert batch["wrist_rgb"].shape == (2, 8, 8, 3)
     finally:
         it.close()
+
+
+def test_prioritized_new_adds_get_max_priority_once(rng):
+    """Regression: max_recorded_priority is already alpha-exponentiated — a
+    default-priority add must take it AS IS, not raise it to alpha again
+    (fresh transitions are meant to be sampled at least once)."""
+    from voxactb_tpu.replay.prioritized import PrioritizedReplayBuffer
+
+    sig = bc_replay_signature(["wrist"], (4, 4), low_dim_size=4)
+    buf = PrioritizedReplayBuffer(16, sig, alpha=0.6)
+    i0 = buf.add({"reward": 1.0})
+    buf.set_priority([i0], [4.0])
+    stored = buf._tree.get(i0)
+    assert stored == pytest.approx(4.0 ** 0.6)
+    i1 = buf.add({"reward": 0.0})
+    assert buf._tree.get(i1) == pytest.approx(stored)
+
+
+def test_sum_tree_zero_query_skips_zero_priority_leaf():
+    """Regression: q == left-subtree sum must walk RIGHT (strict '<'), or a
+    0.0 query over a zero-priority left subtree returns a zero-priority leaf
+    (-> infinite importance weights downstream)."""
+    import numpy as np
+
+    from voxactb_tpu.replay.prioritized import SumTree
+
+    t = SumTree(4)
+    t.set(0, 0.0)
+    t.set(1, 2.0)
+
+    class _ZeroRng:
+        def uniform(self, *a, **k):
+            return 0.0
+
+    idx = t.sample(_ZeroRng())
+    assert t.get(idx) > 0.0

@@ -49,7 +49,10 @@ class SumTree:
         node = 1
         while node < self._leaf0:
             left = 2 * node
-            if q <= self._nodes[left]:
+            # strict '<' (Dopamine sum_tree semantics): q == left-subtree sum
+            # must NOT descend left, or q=0.0 over a zero-priority left
+            # subtree returns a zero-priority leaf (-> inf importance weights)
+            if q < self._nodes[left]:
                 node = left
             else:
                 q -= self._nodes[left]
@@ -74,9 +77,23 @@ class PrioritizedReplayBuffer(UniformReplayBuffer):
 
     def add(self, transition: Dict[str, np.ndarray],
             priority: float = None) -> int:
-        idx = super().add(transition)
-        p = self._tree.max_recorded_priority if priority is None else priority
-        self._tree.set(idx, p ** self._alpha)
+        with self._lock:
+            return self._add_locked(transition, priority)
+
+    def _add_locked(self, transition: Dict[str, np.ndarray],
+                    priority: float = None) -> int:
+        # inside the buffer lock (buffer.py's subclass contract): concurrent
+        # adds from the threaded EnvRunner would otherwise race the
+        # non-atomic ancestor updates in SumTree.set
+        idx = super()._add_locked(transition)
+        if priority is None:
+            # new transitions take the CURRENT MAX leaf value so they are
+            # sampled at least once; max_recorded_priority is already
+            # alpha-exponentiated — raising it to alpha again systematically
+            # under-prioritized fresh data for any alpha != 1
+            self._tree.set(idx, self._tree.max_recorded_priority)
+        else:
+            self._tree.set(idx, float(priority) ** self._alpha)
         return idx
 
     def sample_transition_batch(self, batch_size: int) -> Dict[str, np.ndarray]:

@@ -67,7 +67,7 @@ class EnvRunner:
             while not self._stop.is_set():
                 if self._episodes is not None and ep >= self._episodes:
                     return
-                reward, length = 0.0, 0
+                reward, length, completed = 0.0, 0, True
                 for rt in gen.generator(
                     env, self._agent, self._episode_length, eval=False,
                     left_arm_agent=self._left_arm_agent,
@@ -83,11 +83,16 @@ class EnvRunner:
                     reward += rt.reward
                     length += 1
                     if self._stop.is_set():
+                        completed = rt.terminal  # cut mid-episode?
                         break
                 with self._lock:
                     self.total_transitions += length
-                    self.total_episodes += 1
-                self._stats.step_episode(reward, length)
+                    if completed:
+                        self.total_episodes += 1
+                if completed:
+                    # a partial episode cut by stop() must not bias the
+                    # return/length statistics downward
+                    self._stats.step_episode(reward, length)
                 ep += 1
         finally:
             env.shutdown()

@@ -72,11 +72,19 @@ def host_gauges() -> Dict[str, float]:
     try:
         import psutil
 
-        p = psutil.Process()
-        out["host/rss_gb"] = p.memory_info().rss / 1e9
-        out["host/cpu_percent"] = p.cpu_percent(interval=None)
+        # one cached Process: cpu_percent(interval=None) diffs against the
+        # PREVIOUS call on the same instance — a fresh instance per call
+        # returns a meaningless 0.0 forever
+        global _PSUTIL_PROC
+        if _PSUTIL_PROC is None:
+            _PSUTIL_PROC = psutil.Process()
+        out["host/rss_gb"] = _PSUTIL_PROC.memory_info().rss / 1e9
+        out["host/cpu_percent"] = _PSUTIL_PROC.cpu_percent(interval=None)
         vm = psutil.virtual_memory()
         out["host/mem_used_frac"] = vm.percent / 100.0
     except ImportError:
         pass
     return out
+
+
+_PSUTIL_PROC = None

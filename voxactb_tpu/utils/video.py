@@ -8,6 +8,7 @@ rotating virtual viewpoint); encoding uses imageio when available, else .npz.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Callable, List
 
@@ -49,12 +50,23 @@ class TaskRecorder:
             raise RuntimeError("no frames recorded")
         try:
             import imageio.v2 as imageio
-
+        except ImportError:
+            imageio = None
+        if imageio is not None:
             out = path if path.endswith(".mp4") else path + ".mp4"
-            imageio.mimwrite(out, self._frames, fps=self._fps)
-        except Exception:
-            out = (path[:-4] if path.endswith(".mp4") else path) + ".npz"
-            np.savez_compressed(out, frames=np.stack(self._frames),
-                                fps=self._fps)
+            try:
+                imageio.mimwrite(out, self._frames, fps=self._fps)
+                self._frames.clear()
+                return out
+            except Exception as e:
+                # encoder unavailable (this image ships no ffmpeg plugin) or
+                # died mid-write: never leave a truncated .mp4 masquerading
+                # as the recording; fall back to raw frames, loudly
+                if os.path.exists(out):
+                    os.remove(out)
+                logging.warning("mp4 encode failed (%s: %s); saving raw "
+                                "frames instead", type(e).__name__, e)
+        out = (path[:-4] if path.endswith(".mp4") else path) + ".npz"
+        np.savez_compressed(out, frames=np.stack(self._frames), fps=self._fps)
         self._frames.clear()
         return out
