@@ -59,15 +59,23 @@ class DomainRandomizedEnv(BimanualEnv):
     def shutdown(self):
         self._env.shutdown()
 
+    def _rerender(self, obs: Dict) -> Dict:
+        # the inner reset rendered BEFORE _resample recolored the scene; the
+        # first frame is exactly the one the VLM crop / dominant-arm choice
+        # and the policy's first act condition on, so re-render it with the
+        # randomized colors when the env can
+        render = getattr(self._env, "_observation_dict", None)
+        return render() if callable(render) else obs
+
     def reset(self):
         obs = self._env.reset()       # task placement first (recreates objects)
         self._resample()              # then randomize their appearance
-        return self._augment(obs)
+        return self._augment(self._rerender(obs))
 
     def reset_to_demo(self, i):
         obs = self._env.reset_to_demo(i)
         self._resample()
-        return self._augment(obs)
+        return self._augment(self._rerender(obs))
 
     def step(self, action, which_arm: str) -> Transition:
         if self._cfg.randomize_every == "transition":
@@ -84,6 +92,28 @@ class DomainRandomizedEnv(BimanualEnv):
 
     def dominant_arm(self):
         return self._env.dominant_arm()
+
+    @property
+    def task_name(self):
+        # without this the base default '' would disable task-keyed rollout
+        # heuristics (e.g. the OpenJar gripper switch) under the wrapper
+        return getattr(self._env, "task_name", "")
+
+    def preposition_step(self, action, which_arm: str) -> Transition:
+        # delegate so VoxPoser prologue actions keep the inner env's
+        # don't-consume-the-episode-budget contract (environment.py) instead
+        # of falling back to the base default that routes through step()
+        inner = getattr(self._env, "preposition_step", self._env.step)
+        t = inner(action, which_arm)
+        t.observation = self._augment(t.observation)
+        return t
+
+    def get_demo(self, demo_index: int):
+        return self._env.get_demo(demo_index)
+
+    def set_variation(self, v: int) -> None:
+        if hasattr(self._env, "set_variation"):
+            self._env.set_variation(v)
 
     @property
     def env_language_goal(self):

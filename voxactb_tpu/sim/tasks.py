@@ -22,7 +22,7 @@ from voxactb_tpu.sim.conditions import (
     ObjectDisplacedCondition,
     DetectedCondition,
 )
-from voxactb_tpu.sim.task import BimanualTask, Waypoint
+from voxactb_tpu.sim.task import BimanualTask, Waypoint, sample_disjoint_position
 
 TABLE_Z = 0.76
 DOWN = np.array([0.0, 1.0, 0.0, 0.0])  # gripper pointing down (xyzw)
@@ -295,6 +295,10 @@ class OpenJarDifferentAppearance(OpenJar):
         jar.color, lid.color = jar_color, lid_color
         jar.size = jar.size * scale
         lid.size = lid.size * scale
+        # keep the lid seated on the rescaled jar (the parent's +0.07*scale
+        # convention, with scale read back from the jar's rescaled height):
+        # otherwise a 1.15x lid sinks into the jar and a 0.85x one floats
+        lid.position = jar.position + [0, 0, 0.07 * (jar.size[2] / 0.10)]
         return desc
 
 
@@ -335,14 +339,19 @@ class CloseJar(BimanualTask):
         side = -1.0 if variation % 2 == 0 else 1.0
         jar_pos = np.array([rng.uniform(0.15, 0.45),
                             side * rng.uniform(0.1, 0.35), TABLE_Z + 0.05])
-        lid_pos = np.array([rng.uniform(0.15, 0.45),
-                            side * rng.uniform(0.0, 0.08), TABLE_Z + 0.01])
         self.backend.add_object(SceneObject(
             "jar", jar_pos, size=np.array([0.08, 0.08, 0.10]),
             color=(0.9, 0.1, 0.1)))
+        # collision-checked lid spawn: independent uniform draws could embed
+        # the lid in the jar wall (the PlacementError retry in reset() handles
+        # a saturated scene, like every catalogue task)
+        lid_size = np.array([0.09, 0.09, 0.02])
+        lid_pos = sample_disjoint_position(
+            self.backend, rng,
+            [0.15, min(side * 0.0, side * 0.08), TABLE_Z + 0.01],
+            [0.45, max(side * 0.0, side * 0.08), TABLE_Z + 0.01], lid_size)
         self.backend.add_object(SceneObject(
-            "lid", lid_pos, size=np.array([0.09, 0.09, 0.02]),
-            color=(0.2, 0.2, 0.9)))
+            "lid", lid_pos, size=lid_size, color=(0.2, 0.2, 0.9)))
         self._dominant = "right" if side < 0 else "left"
         self._jar_top = jar_pos + [0, 0, 0.07]
         self.register_success_conditions([
@@ -541,7 +550,11 @@ class SweepToDustpan(BimanualTask):
         pan = self.backend.get_object("dustpan")
         dirt = self.backend.get_object("dirt")
         a, d = _assistive(dominant_arm), dominant_arm
-        drop = pan.position + [0, 0, 0.04]
+        # deposit point offset from the pan-holding TCP (pan + [0,0,0.04]) by
+        # ~5.4cm — landing the dominant TCP ON the assistive TCP trips the
+        # backend's ARM_MIN_SEPARATION collision failure while staying well
+        # inside the success region (+-0.08/0.08/0.06 around pan + 0.02z)
+        drop = pan.position + [0.05, 0, 0.06]
         return [
             Waypoint(a, pan.position + [0, 0, 0.10], DOWN, 1.0, label="reach_pan"),
             Waypoint(a, pan.position + [0, 0, 0.04], DOWN, 0.0, label="hold_pan"),

@@ -26,7 +26,11 @@ def task_smoke(task_cls: Type[BimanualTask], variations: int = -1,
     report = {"task": task_cls.name, "variations": n_var, "successes": 0}
     for v in range(n_var):
         for d in range(demos_per_variation):
-            frames, descriptions = env.get_demo(v * 100 + d)
+            # reset_to_demo sets variation = demo_index % num_variations, so
+            # the index must be v-congruent — v*100+d collapsed every task
+            # onto variation (v*100)%n and never exercised the others
+            frames, descriptions = env.get_demo(
+                d * task_cls.num_variations + v)
             if not descriptions or not descriptions[0]:
                 raise TaskValidationError(f"{task_cls.name}: empty description")
             if len(frames) < 5:
