@@ -6,7 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from voxactb_tpu.ops.pallas.decoder_head import LRELU_SLOPE, decoder_head
+from voxactb_tpu.ops.pallas.common import LRELU_SLOPE
+from voxactb_tpu.ops.pallas.decoder_head import decoder_head
 from voxactb_tpu.models.blocks import softargmax_stats_3d
 
 

@@ -6,7 +6,8 @@ import jax
 import jax.numpy as jnp
 
 from voxactb_tpu.models.blocks import softargmax_stats_3d
-from voxactb_tpu.ops.pallas.encoder_stats import LRELU_SLOPE, encoder_stats
+from voxactb_tpu.ops.pallas.common import LRELU_SLOPE
+from voxactb_tpu.ops.pallas.encoder_stats import encoder_stats
 
 
 def test_matches_xla(rng):

@@ -16,6 +16,17 @@ LRELU_SLOPE = 0.02   # leaky-relu slope of every conv body (models/blocks.py)
 TEMPERATURE = 0.01   # SpatialSoftmax3D temperature (network_utils.py:770)
 
 
+def lrelu_rounded(x, slope=LRELU_SLOPE):
+    """Leaky-relu on an already-rounded (compute-dtype, usually bf16) value.
+
+    The comparison runs in f32 because the relay's Mosaic compiler rejects
+    bf16 ``cmpf`` ("Target does not support this comparison"). Bit-identical
+    to comparing in bf16: the f32<->bf16 casts preserve sign exactly, and the
+    only boundary case (-0.0) lands on -0.0 through either branch.
+    """
+    return jnp.where(x.astype(jnp.float32) >= 0, x, x * slope)
+
+
 def edge_pad_row(ref, slot, interior, n):
     """Store an [n, n, c] interior into ring slot ``slot`` with 1-voxel edge
     replication on both in-plane axes (conv padding mode='edge')."""

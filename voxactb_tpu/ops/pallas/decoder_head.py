@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from voxactb_tpu.ops.pallas.common import (
-    LRELU_SLOPE, edge_pad_row as _edge_pad_row, stats_emit, stats_fold,
+    edge_pad_row as _edge_pad_row, lrelu_rounded, stats_emit, stats_fold,
     stats_init)
 
 
@@ -104,7 +104,7 @@ def _kernel(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref, pos_h_ref, pos_w_ref
                        interpret) + bf_ref[0, :c]).astype(cat_ring.dtype)
         # cast BEFORE lrelu: Conv3D applies act_fn(y.astype(bf16))
         # (models/blocks.py:143), so the activation must see the rounded value
-        u = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE)
+        u = lrelu_rounded(acc)
         _edge_pad_row(u_ring, jax.lax.rem(i, 3), u, n)
 
         # online-softmax stats over u rows (f32, matching softargmax_stats_3d

@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from voxactb_tpu.ops.pallas.common import (
-    LRELU_SLOPE, edge_pad_row as _edge_pad_row, stats_emit, stats_fold,
+    LRELU_SLOPE, edge_pad_row as _edge_pad_row, lrelu_rounded, stats_emit,
+    stats_fold,
     stats_init)
 from voxactb_tpu.ops.upsample_conv import _phase_tap_matrix
 
@@ -272,7 +273,7 @@ def _kernel(d0_ref, hp_ref, wp_ref, upb_ref, wf_ref, bf_ref, wt_ref, bt_ref,
         # cast BEFORE lrelu: Conv3D applies act_fn(y.astype(bf16))
         # (models/blocks.py:143), so the activation must see the rounded value
         acc = (acc + bf_ref[0, :c]).astype(cat_d0.dtype)
-        u = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE)
+        u = lrelu_rounded(acc)
         _edge_pad_row(u_ring, jax.lax.rem(i, 3), u[:, 0:n, :], n)
 
         stats_fold(stats, u[:, 0:n, :].astype(jnp.float32),

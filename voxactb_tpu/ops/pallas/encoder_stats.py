@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from voxactb_tpu.ops.pallas.common import (
-    LRELU_SLOPE, stats_emit, stats_fold, stats_init)
+    lrelu_rounded, stats_emit, stats_fold, stats_init)
 
 
 def _kernel(x_ref, w_ref, b_ref, pos_h_ref, pos_w_ref, pos_smem_ref,
@@ -42,7 +42,7 @@ def _kernel(x_ref, w_ref, b_ref, pos_h_ref, pos_w_ref, pos_smem_ref,
     # cast BEFORE lrelu: Conv3D applies act_fn((y+b).astype(bf16))
     # (models/blocks.py:167), so the activation must see the rounded value
     acc = acc.astype(d0_ref.dtype)
-    d = jnp.where(acc >= 0, acc, acc * LRELU_SLOPE)
+    d = lrelu_rounded(acc)
     d0_ref[0, 0] = d
 
     # online-softmax stats on the bf16-rounded row (softargmax_stats_3d parity)

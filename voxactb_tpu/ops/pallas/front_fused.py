@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from voxactb_tpu.ops.pallas.common import (
-    LRELU_SLOPE, stats_emit, stats_fold, stats_init)
+    lrelu_rounded, stats_emit, stats_fold, stats_init)
 from voxactb_tpu.ops.voxelize import MIN_DENOMINATOR
 
 
@@ -156,7 +156,7 @@ def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
     # (models/blocks.py:167), so the lrelu must see the rounded value or
     # negative pre-activations drift by ~1 ulp vs the XLA/training path
     pre = pre.astype(d0_ref.dtype)
-    d = jnp.where(pre >= 0, pre, pre * LRELU_SLOPE)
+    d = lrelu_rounded(pre)
     d0_ref[0, 0] = d[:, 0:n, :]
 
     # 4) online-softmax soft-argmax stats (shared ops/pallas/common recurrence)
