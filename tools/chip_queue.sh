@@ -19,7 +19,7 @@ LOGDIR="${1:-/tmp/chipq}"
 mkdir -p "$LOGDIR"
 
 echo "[chipq] waiting for relay chip..." | tee "$LOGDIR/status"
-until timeout 300 python -c "import jax; assert jax.devices()" \
+until timeout 300 python -u -c "import jax; assert jax.devices()" \
       > "$LOGDIR/poll.log" 2>&1; do
   echo "[chipq] $(date +%H:%M:%S) relay still down" | tee -a "$LOGDIR/status"
   sleep 120
@@ -33,7 +33,7 @@ run() {  # run <name> <timeout-s> <cmd...>
   echo "[chipq] $(date +%H:%M:%S) DONE $name exit=$?" | tee -a "$LOGDIR/status"
 }
 
-run v3_probe 2400 python tools/probe_decoder_ab.py
+run v3_probe 2400 python -u tools/probe_decoder_ab.py
 V3=$(python - "$LOGDIR/v3_probe.log" <<'PYEOF'
 import json, sys
 try:
@@ -48,11 +48,11 @@ PYEOF
 )
 echo "[chipq] v3 bench flag -> $V3" | tee -a "$LOGDIR/status"
 
-run front_probe 2400 python tools/probe_front_batch.py
-run remat_ab 2400 python tools/profile_train.py --steps 8
-run vlm_probe 2400 python -c "import bench; print('vlm_ms:', bench.time_vlm_pass()); print('sam_h_ms:', bench.time_sam_h())"
-run bench_full 5400 env BENCH_PALLAS_DECODER_V3="$V3" python bench.py
-run protocol_eval 28800 python tools/run_protocol_eval.py --out eval_artifacts \
+run front_probe 2400 python -u tools/probe_front_batch.py
+run remat_ab 2400 python -u tools/profile_train.py --steps 8
+run vlm_probe 2400 python -u -c "import bench; print('vlm_ms:', bench.time_vlm_pass()); print('sam_h_ms:', bench.time_sam_h())"
+run protocol_eval 28800 python -u tools/run_protocol_eval.py --out eval_artifacts \
     --tasks open_drawer put_item_in_drawer hand_over_item \
     --iters 6000 --save-freq 2000 --platform tpu
+run bench_full 5400 env BENCH_PALLAS_DECODER_V3="$V3" python -u bench.py
 echo "[chipq] ALL DONE" | tee -a "$LOGDIR/status"
