@@ -40,12 +40,39 @@ PALLAS_ENCODER = os.environ.get("BENCH_PALLAS_ENCODER", "1") == "1"
 PALLAS_FRONT = os.environ.get("BENCH_PALLAS_FRONT", "1") == "1"
 
 
+def make_decode(cfg, batch):
+    """Full 9-dof action decode — trans voxel idx -> world coords, discrete
+    euler -> quaternion, grip + collision bits — exactly what
+    QAttentionStackAgent.act produces (qattention_stack_agent.py:80-89). Shared
+    by every bench chain so all throughput keys measure the program act() runs."""
+    import jax.numpy as jnp
+
+    from voxactb_tpu.ops import geometry as G
+
+    n = cfg.voxel_size
+    nr = cfg.num_rotation_classes
+
+    def decode(out, bounds):
+        flat = jnp.argmax(out["trans"].reshape(batch, -1), -1).astype(jnp.int32)
+        idx = jnp.stack([flat // (n * n), (flat // n) % n, flat % n], -1)
+        att = G.attention_coordinate(idx, n, bounds)
+        rg = out["rot_grip"]
+        rot = jnp.stack([jnp.argmax(rg[:, i * nr:(i + 1) * nr], -1)
+                         for i in range(3)], -1)
+        quat = G.discrete_euler_to_quaternion(rot, cfg.rotation_resolution)
+        grip = jnp.argmax(rg[:, 3 * nr:], -1, keepdims=True).astype(jnp.float32)
+        coll = jnp.argmax(out["collision"], -1,
+                          keepdims=True).astype(jnp.float32)
+        return jnp.concatenate([att, quat, grip, coll], -1)
+
+    return decode
+
+
 def build_chain(cfg, batch, params=None):
     import jax
     import jax.numpy as jnp
 
     from voxactb_tpu.agents.qfunction import apply_with_front, build_encoder
-    from voxactb_tpu.ops import geometry as G
 
     model = build_encoder(cfg)
     n = cfg.voxel_size
@@ -65,7 +92,7 @@ def build_chain(cfg, batch, params=None):
             jax.random.key(0), jnp.zeros((1, n, n, n, 10)),
             jnp.zeros((1, 4)), jnp.zeros((1, 1024)), jnp.zeros((1, 77, 512)))
 
-    nr = cfg.num_rotation_classes
+    decode = make_decode(cfg, batch)
 
     def one_step(carry, obs):
         rgb, pcd = obs
@@ -73,16 +100,7 @@ def build_chain(cfg, batch, params=None):
         feats = ((rgb / 255.0) * 2.0 - 1.0).reshape(batch, -1, 3)
         out, _ = apply_with_front(cfg, model, params, coords, feats, bounds,
                                   proprio, lang_goal, lang_tok)
-        flat = jnp.argmax(out["trans"].reshape(batch, -1), -1).astype(jnp.int32)
-        idx = jnp.stack([flat // (n * n), (flat // n) % n, flat % n], -1)
-        att = G.attention_coordinate(idx, n, bounds)
-        rg = out["rot_grip"]
-        rot = jnp.stack([jnp.argmax(rg[:, i * nr:(i + 1) * nr], -1)
-                         for i in range(3)], -1)
-        quat = G.discrete_euler_to_quaternion(rot, cfg.rotation_resolution)
-        grip = jnp.argmax(rg[:, 3 * nr:], -1, keepdims=True).astype(jnp.float32)
-        coll = jnp.argmax(out["collision"], -1, keepdims=True).astype(jnp.float32)
-        return carry, jnp.concatenate([att, quat, grip, coll], -1)
+        return carry, decode(out, bounds)
 
     @jax.jit
     def chained(rgbs, pcds):
@@ -112,12 +130,13 @@ def time_train_chain(batch: int, n_steps: int = 8):
     from voxactb_tpu.agents.qfunction import make_optimizer, make_train_step
     from voxactb_tpu.config import MethodConfig
 
-    # remat ON: trades +1x fwd FLOPs for dropping the saved-activation HBM
-    # traffic; measured A/B at this point (tools/profile_train.py, batch 8):
-    # 11.58 ms/step remat vs 17.34 without — the step is bandwidth-bound
+    # remat setting comes from the fetch-in-region A/B in tools/profile_train.py
+    # (the original dispatch-only A/B was void; re-measured round 4 — see
+    # tools/ROUND4_PLAN.md for the honest numbers backing this flag)
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "1") == "1"
     cfg = MethodConfig(voxel_sizes=[50], which_arm="dominant", arm_pred_loss=True,
                        crop_target_obj_voxel=True, crop_radius=0.3,
-                       compute_dtype="bfloat16", apply_se3=True, remat=True)
+                       compute_dtype="bfloat16", apply_se3=True, remat=remat)
     cameras = ["wrist", "wrist2"]
     optimizer = make_optimizer(cfg, training_iterations=100_000)
     _, init_fn, step_fn = make_train_step(cfg, optimizer, cameras)
@@ -177,12 +196,14 @@ def time_train_chain(batch: int, n_steps: int = 8):
     return n_steps * batch / sorted(walls)[len(walls) // 2], param_count
 
 
-def time_dual_policy_chain(n_steps: int = 32):
+def build_dual_chain(n_steps: int = 32):
     """BASELINE staged config #2: the VoxAct-B dual-policy episode — acting and
     stabilizing parameter sets alternating per step on the 50^3 VLM-cropped grid
     (rollout_generator.py:233-244). One chained program; the step's parameter set
     is a dynamic slice of a stacked param pair, so each step reads only the
-    selected network's weights."""
+    selected network's weights. Each step runs the FULL act() decode (trans ->
+    world coords, rot quat, grip, collision), and the crop ``bounds`` are a
+    runtime argument so the episode bench can feed VLM-derived bounds in."""
     import jax
     import jax.numpy as jnp
 
@@ -206,7 +227,6 @@ def time_dual_policy_chain(n_steps: int = 32):
     proprio = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
     lang_goal = jnp.asarray(rng.normal(size=(1, 1024)).astype(np.float32))
     lang_tok = jnp.asarray(rng.normal(size=(1, 77, 512)).astype(np.float32))
-    bounds = jnp.asarray([[-0.1, -0.3, 0.5, 0.5, 0.3, 1.1]], jnp.float32)
 
     p_act = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, n, n, n, 10)), jnp.zeros((1, 4)),
@@ -216,8 +236,10 @@ def time_dual_policy_chain(n_steps: int = 32):
         jnp.zeros((1, 1024)), jnp.zeros((1, 77, 512)))
     stacked = jax.tree_util.tree_map(
         lambda a, b: jnp.stack([a, b]), p_act, p_stab)
+    decode = make_decode(cfg, 1)
 
-    def one_step(step, obs):
+    def one_step(carry, obs):
+        step, bounds = carry
         rgb, pcd = obs
         params = jax.tree_util.tree_map(
             lambda x: jax.lax.dynamic_index_in_dim(x, step % 2, 0,
@@ -226,33 +248,41 @@ def time_dual_policy_chain(n_steps: int = 32):
         feats = ((rgb / 255.0) * 2.0 - 1.0).reshape(1, -1, 3)
         out, _ = apply_with_front(cfg, model, params, coords, feats, bounds,
                                   proprio, lang_goal, lang_tok)
-        act = jnp.argmax(out["trans"].reshape(1, -1), -1).astype(jnp.float32)
-        return step + 1, act
+        return (step + 1, bounds), decode(out, bounds)
 
     @jax.jit
-    def chained(rgbs, pcds):
-        return jax.lax.scan(one_step, 0, (rgbs, pcds))[1]
+    def chained(rgbs, pcds, bounds):
+        return jax.lax.scan(one_step, (0, bounds), (rgbs, pcds))[1]
 
-    acts = np.asarray(chained(rgbs, pcds))  # compile + warm
-    assert np.isfinite(acts).all()
+    return chained, rgbs, pcds
+
+
+def time_dual_policy_chain(n_steps: int = 32):
+    chained, rgbs, pcds = build_dual_chain(n_steps)
+    import jax.numpy as jnp
+
+    bounds = jnp.asarray([[-0.1, -0.3, 0.5, 0.5, 0.3, 1.1]], jnp.float32)
+    acts = np.asarray(chained(rgbs, pcds, bounds))  # compile + warm
+    assert acts.shape == (n_steps, 1, 9) and np.isfinite(acts).all()
     walls = []
     for _ in range(5):
         t0 = time.perf_counter()
-        acts = np.asarray(chained(rgbs, pcds))
+        acts = np.asarray(chained(rgbs, pcds, bounds))
         walls.append(time.perf_counter() - t0)
     return n_steps / sorted(walls)[len(walls) // 2]
 
 
-def time_vlm_pass(n_frames: int = 4):
-    """BASELINE staged config #3: the episode-frequency VLM pass on chip —
-    OWL-ViT-base detection (768^2) + SAM-B box-prompted segmentation (1024^2,
-    encoder + mask decoder), random weights (a perf number, vlm.py:144-194).
+def build_vlm_stages():
+    """The episode-frequency VLM pass on chip — OWL-ViT-base detection (768^2)
+    + SAM-B box-prompted segmentation (1024^2, encoder + mask decoder), random
+    weights (a perf number, vlm.py:144-194).
 
     The three stages are jitted SEPARATELY and chained on host: one giant
     scan-of-everything graph exceeds what the relay's AOT compiler finishes in
     reasonable time, and the real pipeline runs once per episode with host
     logic between stages anyway (vlm.py:144-194 moves detection boxes through
-    numpy/o3d before prompting SAM)."""
+    numpy/o3d before prompting SAM). ``frame(i)`` returns (mask area, centroid
+    y, centroid x in [0,1]) — the data the crop point derives from."""
     import jax
     import jax.numpy as jnp
 
@@ -288,8 +318,15 @@ def time_vlm_pass(n_frames: int = 4):
     def segment(params, emb, box_xyxy):
         masks, iou = dec.apply(params, emb, box_xyxy[None])
         sel = jnp.argmax(iou[0])
-        return jnp.sum(masks[0, sel] > 0)
+        m = (masks[0, sel] > 0).astype(jnp.float32)
+        area = jnp.sum(m)
+        h, w = m.shape
+        ys = jnp.sum(m * jnp.arange(h, dtype=jnp.float32)[:, None])
+        xs = jnp.sum(m * jnp.arange(w, dtype=jnp.float32)[None, :])
+        denom = jnp.maximum(area, 1.0)
+        return area, ys / denom / h, xs / denom / w
 
+    n_frames = 4
     imgs_owl = jnp.asarray(rng.normal(size=(n_frames, 1, 768, 768, 3))
                            .astype(np.float32))
     imgs_sam = jnp.asarray(rng.normal(size=(n_frames, 1, 1024, 1024, 3))
@@ -297,11 +334,18 @@ def time_vlm_pass(n_frames: int = 4):
     txt = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
 
     def frame(i):
-        box = detect(det_params, imgs_owl[i], txt)
-        emb = sam_encode(sam_params, imgs_sam[i])
-        return int(segment(dec_params, emb, box))
+        box = detect(det_params, imgs_owl[i % n_frames], txt)
+        emb = sam_encode(sam_params, imgs_sam[i % n_frames])
+        area, cy, cx = segment(dec_params, emb, box)
+        return float(area), float(cy), float(cx)
 
-    area = frame(0)  # compile + warm all three stages
+    return frame
+
+
+def time_vlm_pass(n_frames: int = 4):
+    """BASELINE staged config #3: ms per VLM frame (OWL-ViT + SAM-B, 3 stages)."""
+    frame = build_vlm_stages()
+    area, _, _ = frame(0)  # compile + warm all three stages
     assert area >= 0
     walls = []
     for _ in range(3):
@@ -310,6 +354,46 @@ def time_vlm_pass(n_frames: int = 4):
             frame(i)
         walls.append(time.perf_counter() - t0)
     return sorted(walls)[len(walls) // 2] / n_frames * 1000.0  # ms per frame
+
+
+def time_episode(n_acts: int = 25):
+    """BASELINE staged config #3 END-TO-END: the composed per-episode device
+    path the reference runs once per rollout — one VLM pass (OWL-ViT detect +
+    SAM encode + box-prompted mask), crop bounds derived from the mask centroid
+    on host (get_new_scene_bounds_based_on_crop, helpers/utils.py:32), then
+    ``episode_length`` alternating dual-policy acts at 50^3 inside the derived
+    bounds (vlm.py:144-194 + rollout_generator.py:208-298). Returns
+    (episode_ms, acts_per_s). Sim stepping/planning is host work the reference
+    pays identically and is excluded — this is the device+glue path."""
+    frame = build_vlm_stages()
+    chained, rgbs, pcds = build_dual_chain(n_acts)
+    import jax.numpy as jnp
+
+    scene_lo = np.asarray([-0.8, -1.0, 0.1])
+    scene_hi = np.asarray([1.2, 1.0, 2.1])
+    radius = 0.3
+
+    def episode():
+        _, cy, cx = frame(0)
+        # lift the normalized mask centroid to a world crop point inside the
+        # scene volume (the reference goes through the masked point cloud;
+        # the bounds->policy data dependency is what matters for timing)
+        frac = np.asarray([cx, cy, 0.5 * (cx + cy)])
+        center = scene_lo + frac * (scene_hi - scene_lo)
+        bounds = jnp.asarray(
+            np.concatenate([center - radius, center + radius])[None]
+            .astype(np.float32))
+        acts = np.asarray(chained(rgbs, pcds, bounds))
+        assert acts.shape == (n_acts, 1, 9) and np.isfinite(acts).all()
+
+    episode()  # compile + warm every stage
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        episode()
+        walls.append(time.perf_counter() - t0)
+    med = sorted(walls)[len(walls) // 2]
+    return med * 1000.0, n_acts / med
 
 
 def time_sam_h(n_frames: int = 2):
@@ -415,6 +499,16 @@ def main():
             traceback.print_exc(file=sys.stderr)
             sam_h_ms = None
 
+    # BASELINE staged config #3 composed: VLM once -> crop bounds -> 25 acts
+    episode_ms, episode_aps = None, None
+    if os.environ.get("BENCH_SKIP_EPISODE") != "1" \
+            and os.environ.get("BENCH_SKIP_VLM") != "1":
+        try:
+            episode_ms, episode_aps = time_episode()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            episode_ms = None
+
     # the VoxAct-B operating point: 50^3 VLM-cropped grid (launch_utils.py:341-347)
     crop50_sps = None
     if os.environ.get("BENCH_SKIP_CROP50") != "1":
@@ -434,7 +528,8 @@ def main():
     # (tools/roofline.py: ~66 GB/s HBM, ~180 TFLOP/s marginal matmul) and
     # physical v5e specs (819 GB/s, 197 TFLOP/s bf16)
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
-    from cost_model import act_cost, speed_of_light, train_cost
+    from cost_model import (act_cost, sam_encoder_cost, speed_of_light,
+                            train_cost)
 
     cost = act_cost(n=100, batch=1, fused_decoder=PALLAS_DECODER,
                     fused_front=PALLAS_FRONT)
@@ -451,9 +546,9 @@ def main():
     sol_b8_relay = speed_of_light(cost_b8, relay_flops, relay_bw)
 
     # train-step roofline (fwd+bwd+LAMB at the canonical 50^3 batch-8 point;
-    # remat is ON in the bench train config, matching time_train_chain's cfg)
-    tcost = train_cost(n=50, batch=8,
-                       param_count=train_params or 35.7e6, remat=True)
+    # remat matches time_train_chain's cfg — both read BENCH_TRAIN_REMAT)
+    tcost = train_cost(n=50, batch=8, param_count=train_params or 35.7e6,
+                       remat=os.environ.get("BENCH_TRAIN_REMAT", "1") == "1")
     sol_train_relay = speed_of_light(tcost, relay_flops, relay_bw)
     sol_train_v5e = speed_of_light(tcost)
 
@@ -510,6 +605,14 @@ def main():
         out["vlm_ms_per_frame"] = round(float(vlm_ms), 2)
     if sam_h_ms is not None:
         out["sam_h_ms_per_frame"] = round(float(sam_h_ms), 2)
+        scost = sam_encoder_cost()
+        sol_samh = speed_of_light(scost, relay_flops, relay_bw)
+        out["sam_h_sol_ms_relay"] = round(sol_samh["sol_ms"], 2)
+        out["sam_h_sol_frac_relay"] = round(
+            sol_samh["sol_ms"] / float(sam_h_ms), 3)
+    if episode_ms is not None:
+        out["episode50_ms"] = round(float(episode_ms), 1)
+        out["episode50_acts_per_s"] = round(float(episode_aps), 2)
     if crop50_sps is not None:
         out["crop50_steps_per_s"] = round(float(crop50_sps), 2)
         out["crop50_latency_ms"] = round(1000.0 / crop50_sps, 2)

@@ -155,6 +155,54 @@ def train_cost(n: int = 50, batch: int = 8, param_count: float = 35.7e6,
     }
 
 
+def sam_encoder_cost(img: int = 1024, patch: int = 16, dim: int = 1280,
+                     depth: int = 32, heads: int = 16, window: int = 14,
+                     n_global: int = 4, mlp_ratio: float = 4.0,
+                     neck_ch: int = 256) -> Dict[str, float]:
+    """Per-frame FLOPs and minimal HBM bytes of the SAM ViT-H image encoder at
+    1024^2 (models/sam_encoder.py; the reference loads sam_vit_h, vlm.py:109-117).
+
+    FLOPs per transformer block on T tokens: qkv (2*T*d*3d) + attention
+    (2*T*L*d per sim + per weighted-sum, L = window^2 for the 28 windowed
+    blocks after 14x14 padding of the 64x64 token grid to 70x70, L = T for the
+    4 global blocks) + proj (2*T*d*d) + MLP (2*T*d*4d*2). Bytes: every block
+    streams its activations (read + write residual) and reads its weights once
+    — the weight read (632M params * 2B = 1.26 GB) dominates at batch 1, which
+    is why the encoder is bandwidth-bound even on physical HBM."""
+    t = (img // patch) ** 2                      # 4096 tokens
+    tw = ((img // patch + window - 1) // window * window) ** 2  # padded 70^2
+    fl: Dict[str, float] = {}
+    qkv_proj = 2 * t * dim * 3 * dim + 2 * t * dim * dim
+    mlp = 2 * t * dim * int(mlp_ratio * dim) * 2
+    attn_win = 2 * tw * window * window * dim * 2    # sim + weighted sum
+    attn_glob = 2 * t * t * dim * 2
+    n_win = depth - n_global
+    fl["patch_embed"] = 2 * t * patch * patch * 3 * dim
+    fl["qkv_proj"] = depth * qkv_proj
+    fl["attention"] = n_win * attn_win + n_global * attn_glob
+    fl["mlp"] = depth * mlp
+    fl["neck"] = 2 * t * dim * neck_ch + 2 * t * 9 * neck_ch * neck_ch
+
+    params = (patch * patch * 3 * dim                     # patch embed
+              + depth * (4 * dim * dim + 2 * dim * int(mlp_ratio * dim))
+              + dim * neck_ch + 9 * neck_ch * neck_ch)
+    bf2 = 2
+    weight_bytes = params * bf2
+    # activations: each block reads x and writes the residual sum (the qkv/attn
+    # intermediates stay on-chip in a fused schedule); neck + patch embed once
+    act_bytes = (t * 3 * patch * patch * 4          # input image
+                 + depth * 2 * t * dim * bf2
+                 + 2 * t * neck_ch * bf2)
+    return {
+        "flops": float(sum(fl.values())),
+        "bytes": float(act_bytes + weight_bytes),
+        "activation_bytes": float(act_bytes),
+        "weight_bytes": float(weight_bytes),
+        "param_count": float(params),
+        "flops_by_stage": fl,
+    }
+
+
 def speed_of_light(cost: Dict[str, float], peak_flops: float = V5E_PEAK_FLOPS,
                    hbm_bw: float = V5E_HBM_BW) -> Dict[str, float]:
     t_flops = cost["flops"] / peak_flops

@@ -2,9 +2,15 @@
 
 Times each hot op in isolation (chained 16x on device in one scan, fetched once) at
 the canonical 100^3 / bf16 operating point, plus alternative formulations of the
-convolutions, to locate and fix the hotspot. Run: python tools/profile_stages.py
+convolutions, to locate and fix the hotspot.
+
+Run: python tools/profile_stages.py [--batch 8]
+--batch B profiles every stage at batch B (the measured half of the
+batched-8 MEASURED-vs-SOL table; ceilings come from cost_model.act_cost(batch=8)
+via bench.py's batched8_stage_ceiling_ms key).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -19,7 +25,7 @@ N = 100
 S = 20  # patch grid
 
 
-def main():
+def main(batch: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -36,15 +42,15 @@ def main():
     rng = np.random.default_rng(0)
     bf = jnp.bfloat16
 
-    grid10 = jnp.asarray(rng.normal(size=(N_CHAIN, 1, N, N, N, 10)).astype(
+    grid10 = jnp.asarray(rng.normal(size=(N_CHAIN, batch, N, N, N, 10)).astype(
         np.float32), bf)
-    d0 = jnp.asarray(rng.normal(size=(N_CHAIN, 1, N, N, N, 64)).astype(
+    d0 = jnp.asarray(rng.normal(size=(N_CHAIN, batch, N, N, N, 64)).astype(
         np.float32), bf)
-    cat128 = jnp.asarray(rng.normal(size=(N_CHAIN, 1, N, N, N, 128)).astype(
+    cat128 = jnp.asarray(rng.normal(size=(N_CHAIN, batch, N, N, N, 128)).astype(
         np.float32), bf)
-    small = jnp.asarray(rng.normal(size=(N_CHAIN, 1, S, S, S, 128)).astype(
+    small = jnp.asarray(rng.normal(size=(N_CHAIN, batch, S, S, S, 128)).astype(
         np.float32), bf)
-    seq = jnp.asarray(rng.normal(size=(N_CHAIN, 1, 8077, 128)).astype(
+    seq = jnp.asarray(rng.normal(size=(N_CHAIN, batch, 8077, 128)).astype(
         np.float32), bf)
 
     k1 = jnp.asarray(rng.normal(size=(1, 1, 1, 10, 64)).astype(np.float32) * .1, bf)
@@ -96,7 +102,7 @@ def main():
 
     def attn_trunk(s):
         # cross-attn (1 head, 64) + 6 self-attn layers + FFs, shapes only
-        x = jnp.broadcast_to(latents[None], (1, 2048, 512))
+        x = jnp.broadcast_to(latents[None], (s.shape[0], 2048, 512))
         kv = jnp.einsum("bnd,de->bne", s, wkv, preferred_element_type=jnp.float32
                         ).astype(bf)
         sim = jnp.einsum("bid,bjd->bij", x[..., :128], kv,
@@ -120,11 +126,12 @@ def main():
 
     from voxactb_tpu.ops.voxelize import voxelize
 
-    pts = jnp.asarray(rng.uniform(-0.5, 1.5, (N_CHAIN, 1, 32768, 3)).astype(
+    pts = jnp.asarray(rng.uniform(-0.5, 1.5, (N_CHAIN, batch, 32768, 3)).astype(
         np.float32))
-    ptf = jnp.asarray(rng.uniform(-1, 1, (N_CHAIN, 1, 32768, 3)).astype(
+    ptf = jnp.asarray(rng.uniform(-1, 1, (N_CHAIN, batch, 32768, 3)).astype(
         np.float32))
-    vox_bounds = jnp.asarray([[-0.8, -1.0, 0.1, 1.2, 1.0, 2.1]], jnp.float32)
+    vox_bounds = jnp.asarray([[-0.8, -1.0, 0.1, 1.2, 1.0, 2.1]] * batch,
+                             jnp.float32)
 
     def d0_consumers_separate(x):
         """ss0 + globalmax + patchify, each re-reading d0 (round-1 structure)."""
@@ -173,8 +180,11 @@ def main():
         print(json.dumps({"stage": name, "per_step_ms": results[name],
                           "compile_s": round(compile_s, 1)}), flush=True)
 
-    print(json.dumps({"all": results}))
+    print(json.dumps({"batch": batch, "all": results}))
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+    main(batch=args.batch)
