@@ -1,0 +1,100 @@
+"""On-chip A/B of the SAM ViT-H encoder: fused global attention vs XLA path.
+
+Paired in ONE process (the relay jitters ~40% run-to-run across processes).
+Also splits the encoder cost by block type (global / windowed / mlp-only) so
+the next optimization target is measured, not guessed.
+
+Run (chip must be free): python tools/profile_sam.py [--frames 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timed(fn, *args, reps=3):
+    np.asarray(fn(*args))  # compile + warm
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        walls.append(time.perf_counter() - t0)
+    return sorted(walls)[len(walls) // 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1)
+    ap.add_argument("--skip-blocks", action="store_true",
+                    help="only the full-encoder A/B")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/voxactb_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from voxactb_tpu.models.sam_encoder import SamBlock, SamImageEncoder
+
+    rng = np.random.default_rng(0)
+    bf = jnp.bfloat16
+    img = jnp.asarray(rng.normal(size=(1, 1024, 1024, 3)).astype(np.float32))
+
+    results = {}
+
+    def enc(fused):
+        return SamImageEncoder(embed_dim=1280, depth=32, num_heads=16,
+                               global_attn_indexes=(7, 15, 23, 31),
+                               fused_global=fused, dtype=bf)
+
+    e = enc(False)
+    params = jax.jit(e.init)(jax.random.key(0), img)
+
+    for fused in (False, True):
+        f = jax.jit(enc(fused).apply)
+        s = timed(f, params, img)
+        results[f"vit_h_ms_fused={fused}"] = round(s * 1e3, 1)
+        print(json.dumps({"probe": f"vit_h fused={fused}",
+                          "ms_per_frame": results[f"vit_h_ms_fused={fused}"]}),
+              flush=True)
+
+    if not args.skip_blocks:
+        # one block of each type on the ViT-H token grid, chained 4x
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 1280)).astype(np.float32),
+                        bf)
+
+        def block(window, fused):
+            return SamBlock(1280, 16, window_size=window, grid_size=(64, 64),
+                            fused_global=fused, dtype=bf)
+
+        for name, window, fused in (("global_xla", 0, False),
+                                    ("global_fused", 0, True),
+                                    ("windowed", 14, False)):
+            m = block(window, fused)
+            p = jax.jit(block(window, False).init)(jax.random.key(1), x)
+
+            @jax.jit
+            def chain(p, x, m=m):
+                def step(c, _):
+                    return m.apply(p, c), None
+                y, _ = jax.lax.scan(step, x, None, length=4)
+                return y
+
+            s = timed(chain, p, x)
+            results[f"block_{name}_ms"] = round(s / 4 * 1e3, 2)
+            print(json.dumps({"probe": f"block {name}",
+                              "ms_per_block": results[f"block_{name}_ms"]}),
+                  flush=True)
+
+    print(json.dumps({"all": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,8 @@ class WindowAttention(nn.Module):
     num_heads: int
     use_rel_pos: bool = True
     input_size: Tuple[int, int] = (14, 14)
+    fused_global: bool = False   # pallas kernel: logits never hit HBM
+    fused_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -59,25 +61,55 @@ class WindowAttention(nn.Module):
         v = v.transpose(0, 2, 1, 3)
 
         scale = head_dim ** -0.5
-        attn = jnp.einsum("bhid,bhjd->bhij", q * scale, k,
-                          preferred_element_type=jnp.float32)
 
         if self.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
                                (2 * self.input_size[0] - 1, head_dim))
             rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                                (2 * self.input_size[1] - 1, head_dim))
-            Rh = _rel_pos_embed(h, h, rel_h.astype(jnp.float32))  # [h,h,hd]
-            Rw = _rel_pos_embed(w, w, rel_w.astype(jnp.float32))
-            rq = q.reshape(b, self.num_heads, h, w, head_dim).astype(jnp.float32)
-            rel_h_term = jnp.einsum("bnhwc,hkc->bnhwk", rq, Rh)
-            rel_w_term = jnp.einsum("bnhwc,wkc->bnhwk", rq, Rw)
-            attn = attn.reshape(b, self.num_heads, h, w, h, w)
-            attn = attn + rel_h_term[..., :, None] + rel_w_term[..., None, :]
-            attn = attn.reshape(b, self.num_heads, h * w, h * w)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        # fast path for the big GLOBAL blocks: the XLA formulation below
+        # materializes f32 [B, heads, HW, HW] logits (+ their 6-D rel-pos
+        # broadcast view) in HBM — ~1 GB each for ViT-H at 1024^2. The pallas
+        # kernel (ops/pallas/sam_attention.py) folds the decomposed bias into
+        # the QK contraction and keeps logits in VMEM.
+        use_fused = (self.fused_global and self.use_rel_pos
+                     and not self.is_initializing()
+                     and self.dtype == jnp.bfloat16)
+        if use_fused:
+            from voxactb_tpu.ops.pallas.sam_attention import (
+                global_rel_attention,
+            )
+
+            Rh = _rel_pos_embed(h, h, rel_h.astype(jnp.float32))
+            Rw = _rel_pos_embed(w, w, rel_w.astype(jnp.float32))
+            rq = q.reshape(b, self.num_heads, h, w, head_dim).astype(
+                jnp.float32)
+            rel_h_term = jnp.einsum("bnhwc,hkc->bnhwk", rq, Rh).reshape(
+                b * self.num_heads, h * w, h)
+            rel_w_term = jnp.einsum("bnhwc,wkc->bnhwk", rq, Rw).reshape(
+                b * self.num_heads, h * w, w)
+            flat = lambda t: t.reshape(b * self.num_heads, h * w, head_dim)
+            out = global_rel_attention(
+                flat(q * scale), flat(k), flat(v), rel_h_term, rel_w_term,
+                kh=h, kw=w, interpret=self.fused_interpret)
+            out = out.reshape(b, self.num_heads, h * w, head_dim)
+        else:
+            attn = jnp.einsum("bhid,bhjd->bhij", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            if self.use_rel_pos:
+                Rh = _rel_pos_embed(h, h, rel_h.astype(jnp.float32))  # [h,h,hd]
+                Rw = _rel_pos_embed(w, w, rel_w.astype(jnp.float32))
+                rq = q.reshape(b, self.num_heads, h, w, head_dim).astype(
+                    jnp.float32)
+                rel_h_term = jnp.einsum("bnhwc,hkc->bnhwk", rq, Rh)
+                rel_w_term = jnp.einsum("bnhwc,wkc->bnhwk", rq, Rw)
+                attn = attn.reshape(b, self.num_heads, h, w, h, w)
+                attn = attn + rel_h_term[..., :, None] + rel_w_term[..., None, :]
+                attn = attn.reshape(b, self.num_heads, h * w, h * w)
+
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -109,6 +141,8 @@ class SamBlock(nn.Module):
     window_size: int = 14       # 0 => global attention
     grid_size: Tuple[int, int] = (64, 64)
     mlp_ratio: float = 4.0
+    fused_global: bool = False
+    fused_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -122,6 +156,9 @@ class SamBlock(nn.Module):
         else:
             inp = self.grid_size
         y = WindowAttention(self.dim, self.num_heads, input_size=inp,
+                            fused_global=(self.fused_global
+                                          and self.window_size == 0),
+                            fused_interpret=self.fused_interpret,
                             dtype=self.dtype, name="attn")(y)
         if self.window_size > 0:
             y = window_unpartition(y, self.window_size, pad_hw, hw)
@@ -144,6 +181,10 @@ class SamImageEncoder(nn.Module):
     window_size: int = 14
     global_attn_indexes: Sequence[int] = (7, 15, 23, 31)
     out_chans: int = 256
+    # fused global-attention kernel: engages only at bf16 (the perf dtype);
+    # f32 runs (parity tests vs torch) keep the XLA formulation
+    fused_global: bool = True
+    fused_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -160,7 +201,9 @@ class SamImageEncoder(nn.Module):
             x = SamBlock(
                 self.embed_dim, self.num_heads,
                 window_size=0 if i in self.global_attn_indexes else self.window_size,
-                grid_size=(g, g), dtype=self.dtype, name=f"block_{i}",
+                grid_size=(g, g), fused_global=self.fused_global,
+                fused_interpret=self.fused_interpret,
+                dtype=self.dtype, name=f"block_{i}",
             )(x)
 
         # neck: 1x1 conv -> LN -> 3x3 conv -> LN, to 256 channels
