@@ -38,6 +38,9 @@ PALLAS_DECODER_V3 = os.environ.get("BENCH_PALLAS_DECODER_V3", "0") == "1"
 PALLAS_ENCODER = os.environ.get("BENCH_PALLAS_ENCODER", "1") == "1"
 # round-3 fully fused front (voxelize+preprocess+stats+patchify, one kernel)
 PALLAS_FRONT = os.environ.get("BENCH_PALLAS_FRONT", "1") == "1"
+# flash attention in the perceiver trunk (logits never in HBM); default set
+# by the round-4 paired A/B (tools/profile_stages.py real_attn_trunk[_flash])
+PALLAS_ATTN = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
 
 
 def make_decode(cfg, batch):
@@ -215,7 +218,8 @@ def build_dual_chain(n_steps: int = 32):
                        pallas_decoder=PALLAS_DECODER,
                        pallas_decoder_v3=PALLAS_DECODER_V3,
                        pallas_encoder=PALLAS_ENCODER,
-                       pallas_front=PALLAS_FRONT)
+                       pallas_front=PALLAS_FRONT,
+                       pallas_attention=PALLAS_ATTN)
     model = build_encoder(cfg)
     n = cfg.voxel_size
     rng = np.random.default_rng(0)
@@ -441,7 +445,8 @@ def main():
                            pallas_decoder=PALLAS_DECODER,
                            pallas_decoder_v3=PALLAS_DECODER_V3,
                            pallas_encoder=PALLAS_ENCODER,
-                           pallas_front=PALLAS_FRONT)
+                           pallas_front=PALLAS_FRONT,
+                       pallas_attention=PALLAS_ATTN)
     # throughput mode: pallas kernels win at batch 8 too (27.3 vs 25.3 acts/s
     # paired A/B on-chip)
     cfg_thr = MethodConfig(voxel_sizes=[100], which_arm="right",
@@ -449,7 +454,8 @@ def main():
                            pallas_decoder=PALLAS_DECODER,
                            pallas_decoder_v3=PALLAS_DECODER_V3,
                            pallas_encoder=PALLAS_ENCODER,
-                           pallas_front=PALLAS_FRONT)
+                           pallas_front=PALLAS_FRONT,
+                       pallas_attention=PALLAS_ATTN)
 
     lat_chain, r1, p1 = build_chain(cfg_lat, batch=1)
     single_sps = time_chain(lat_chain, r1, p1, 1)
@@ -517,7 +523,8 @@ def main():
                              pallas_decoder=PALLAS_DECODER,
                            pallas_decoder_v3=PALLAS_DECODER_V3,
                              pallas_encoder=PALLAS_ENCODER,
-                             pallas_front=PALLAS_FRONT)
+                             pallas_front=PALLAS_FRONT,
+                       pallas_attention=PALLAS_ATTN)
         c50, r50, p50 = build_chain(cfg50, batch=1)
         crop50_sps = time_chain(c50, r50, p50, 1)
 

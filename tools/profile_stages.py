@@ -138,6 +138,45 @@ def main(batch: int = 1):
         return (spatial_softmax_3d(x), jnp.max(x, axis=(1, 2, 3)),
                 conv3d(x, k5s5, stride=5))
 
+    # the REAL trunk (models/perceiver.py modules at the canonical 100^3 dims:
+    # 8-head self-attn x6 + 1-head cross + decoder cross) — the simplified
+    # attn_trunk below underestimates it 8x on the logits
+    from flax import linen as nn_flax
+
+    from voxactb_tpu.models.perceiver import FeedForward, PreNormAttention
+
+    class RealTrunk(nn_flax.Module):
+        flash: bool = False
+
+        @nn_flax.compact
+        def __call__(self, seq):
+            lat = self.param("latents", nn_flax.initializers.normal(1.0),
+                             (2048, 512))
+            x = jnp.broadcast_to(lat[None].astype(bf),
+                                 (seq.shape[0], 2048, 512))
+            x = PreNormAttention(1, 64, 512, norm_context=True,
+                                 flash=self.flash, dtype=bf,
+                                 name="cross")(x, seq) + x
+            x = FeedForward(512, dtype=bf, name="cross_ff")(x) + x
+            for i in range(6):
+                x = PreNormAttention(8, 64, 512, flash=self.flash, dtype=bf,
+                                     name=f"sa{i}")(x) + x
+                x = FeedForward(512, dtype=bf, name=f"ff{i}")(x) + x
+            return PreNormAttention(1, 64, 128, norm_context=True,
+                                    flash=self.flash, dtype=bf,
+                                    name="dec")(seq, x)
+
+    trunk_params = {}
+
+    def real_trunk(s, flash=False):
+        m = RealTrunk(flash=flash)
+        if "p" not in trunk_params:
+            trunk_params["p"] = m.init(jax.random.key(0), s)
+        return m.apply(trunk_params["p"], s)
+
+    # init once outside the timed scan (params are shared by both variants)
+    _ = real_trunk(jnp.zeros((batch, 8077, 128), bf))
+
     # (input with leading N_CHAIN axis, op) — scan consumes a fresh slice per step so
     # XLA cannot hoist the op out of the loop
     stages = {
@@ -156,6 +195,8 @@ def main(batch: int = 1):
         "fused_upsample20->100": (small, lambda x: upsample_conv(
             x, k5up, bias64, 5)),
         "attention_trunk": (seq, attn_trunk),
+        "real_attn_trunk": (seq, lambda s: real_trunk(s, flash=False)),
+        "real_attn_trunk_flash": (seq, lambda s: real_trunk(s, flash=True)),
     }
 
     results = {}

@@ -73,6 +73,7 @@ def build_encoder(cfg: MethodConfig, low_dim_size: Optional[int] = None
         pallas_decoder=cfg.pallas_decoder,
         pallas_decoder_v3=cfg.pallas_decoder_v3,
         pallas_encoder=cfg.pallas_encoder,
+        pallas_attention=cfg.pallas_attention,
         pallas_interpret=cfg.pallas_interpret,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )

@@ -103,6 +103,8 @@ class MethodConfig:
     pallas_encoder: bool = False    # fused preprocess+stats kernel (TPU inference)
     pallas_front: bool = False      # fully fused voxelize+preprocess+stats+patchify
     # kernel (TPU inference; subsumes pallas_encoder and skips the dense grid)
+    pallas_attention: bool = False  # flash attention in the perceiver trunk
+    # (TPU inference, bf16): logits never materialize in HBM
     pallas_interpret: bool = False  # run pallas kernels interpreted (CPU tests)
 
     @property

@@ -47,6 +47,8 @@ class Attention(nn.Module):
     dim_head: int
     out_dim: int
     dropout: float = 0.0
+    flash: bool = False          # pallas kernel: logits never hit HBM
+    flash_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -64,13 +66,30 @@ class Attention(nn.Module):
 
         q, k, v = map(split_heads, (q, k, v))
         scale = self.dim_head ** -0.5
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(sim * scale, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum(
-            "bhij,bhjd->bhid", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        )
+
+        # inference fast path: the einsum below materializes f32
+        # [B, heads, Tq, Tk] logits in HBM (1 GB/layer at batch 8, 100^3);
+        # the flash kernel keeps each q-block's logit rows in VMEM
+        use_flash = (self.flash and deterministic
+                     and not self.is_initializing()
+                     and self.dtype == jnp.bfloat16)
+        if use_flash:
+            from voxactb_tpu.ops.pallas.flash_attention import flash_attention
+
+            b, h, n, d = q.shape
+            flat = lambda t: t.reshape(b * h, t.shape[2], d)
+            out = flash_attention(flat(q * scale), flat(k), flat(v),
+                                  interpret=self.flash_interpret)
+            out = out.reshape(b, h, n, d)
+        else:
+            sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                             preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(sim * scale, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum(
+                "bhij,bhjd->bhid", attn.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d).astype(self.dtype)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
@@ -84,6 +103,8 @@ class PreNormAttention(nn.Module):
     out_dim: int
     dropout: float = 0.0
     norm_context: bool = False
+    flash: bool = False
+    flash_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -92,8 +113,9 @@ class PreNormAttention(nn.Module):
         if context is not None and self.norm_context:
             context = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_context")(context)
         return Attention(
-            self.heads, self.dim_head, self.out_dim, self.dropout, self.dtype,
-            name="attn",
+            self.heads, self.dim_head, self.out_dim, self.dropout,
+            flash=self.flash, flash_interpret=self.flash_interpret,
+            dtype=self.dtype, name="attn",
         )(y, context, deterministic=deterministic)
 
 
@@ -163,6 +185,9 @@ class PerceiverVoxelLangEncoder(nn.Module):
     pallas_encoder: bool = False  # fused preprocess-conv + stats front (TPU,
     # inference only)
     pallas_interpret: bool = False  # run pallas kernels in interpret mode (CPU tests)
+    pallas_attention: bool = False  # flash attention in the trunk (inference,
+    # bf16): cross/self/decoder logits never materialize in HBM
+    # (ops/pallas/flash_attention.py)
     dtype: jnp.dtype = jnp.float32
 
     def _stats(self, x):
@@ -280,13 +305,16 @@ class PerceiverVoxelLangEncoder(nn.Module):
 
         cross_attn = PreNormAttention(
             self.cross_heads, self.cross_dim_head, self.latent_dim,
-            self.input_dropout, norm_context=True, dtype=self.dtype,
-            name="cross_attend",
+            self.input_dropout, norm_context=True,
+            flash=self.pallas_attention, flash_interpret=self.pallas_interpret,
+            dtype=self.dtype, name="cross_attend",
         )
         cross_ff = FeedForward(self.latent_dim, dtype=self.dtype, name="cross_ff")
         self_attns = [
             PreNormAttention(self.latent_heads, self.latent_dim_head, self.latent_dim,
-                             self.attn_dropout, dtype=self.dtype, name=f"self_attn_{i}")
+                             self.attn_dropout, flash=self.pallas_attention,
+                             flash_interpret=self.pallas_interpret,
+                             dtype=self.dtype, name=f"self_attn_{i}")
             for i in range(self.depth)
         ]
         self_ffs = [
@@ -304,7 +332,9 @@ class PerceiverVoxelLangEncoder(nn.Module):
         # decoder cross-attention back onto the input sequence (perceiver_lang_io.py:440)
         decoded = PreNormAttention(
             self.cross_heads, self.cross_dim_head, dim, self.decoder_dropout,
-            norm_context=True, dtype=self.dtype, name="decoder_cross_attn",
+            norm_context=True, flash=self.pallas_attention,
+            flash_interpret=self.pallas_interpret,
+            dtype=self.dtype, name="decoder_cross_attn",
         )(seq, x, deterministic=deterministic)
 
         # drop the language slots, back to a patch grid (perceiver_lang_io.py:443-448)
