@@ -133,10 +133,11 @@ def time_train_chain(batch: int, n_steps: int = 8):
     from voxactb_tpu.agents.qfunction import make_optimizer, make_train_step
     from voxactb_tpu.config import MethodConfig
 
-    # remat setting comes from the fetch-in-region A/B in tools/profile_train.py
-    # (the original dispatch-only A/B was void; re-measured round 4 — see
-    # tools/ROUND4_PLAN.md for the honest numbers backing this flag)
-    remat = os.environ.get("BENCH_TRAIN_REMAT", "1") == "1"
+    # remat setting from the honest fetch-in-region A/B (tools/profile_train.py,
+    # on-chip 2026-08-19): full 329.0 ms/step vs full_remat 429.7 at batch 8 —
+    # recomputing the forward costs more than the 128 MB/sample activation
+    # traffic it saves on this part, so remat defaults OFF
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
     cfg = MethodConfig(voxel_sizes=[50], which_arm="dominant", arm_pred_loss=True,
                        crop_target_obj_voxel=True, crop_radius=0.3,
                        compute_dtype="bfloat16", apply_se3=True, remat=remat)
@@ -555,7 +556,7 @@ def main():
     # train-step roofline (fwd+bwd+LAMB at the canonical 50^3 batch-8 point;
     # remat matches time_train_chain's cfg — both read BENCH_TRAIN_REMAT)
     tcost = train_cost(n=50, batch=8, param_count=train_params or 35.7e6,
-                       remat=os.environ.get("BENCH_TRAIN_REMAT", "1") == "1")
+                       remat=os.environ.get("BENCH_TRAIN_REMAT", "0") == "1")
     sol_train_relay = speed_of_light(tcost, relay_flops, relay_bw)
     sol_train_v5e = speed_of_light(tcost)
 

@@ -26,10 +26,12 @@ run() {  # run <name> <timeout-s> <cmd...>
   echo "[chipq] $(date +%H:%M:%S) DONE $name exit=$?" | tee -a "$LOGDIR/status"
 }
 
-run remat_ab 2400 python -u tools/profile_train.py --steps 8
-run stage_b1 4800 python -u tools/profile_stages.py
-run stage_b8 4800 python -u tools/profile_stages.py --batch 8
-run sam_ab   4800 python -u tools/profile_sam.py
+# remat_ab DONE 2026-08-19 06:01 (/tmp/chipq5/remat_ab.log) — skipped on restart.
+# b8 first (feeds the batching directive, the biggest perf item); timeouts are
+# tight so a runaway probe cannot eat the protocol eval's window
+run stage_b8 3600 python -u tools/profile_stages.py --batch 8
+run stage_b1 3000 python -u tools/profile_stages.py
+run sam_ab   3000 python -u tools/profile_sam.py
 run protocol_eval 36000 python -u tools/run_protocol_eval.py --out eval_artifacts \
     --tasks open_drawer open_jar put_item_in_drawer hand_over_item \
     --iters 6000 --save-freq 2000 --platform tpu

@@ -177,9 +177,58 @@ def main(batch: int = 1):
     # init once outside the timed scan (params are shared by both variants)
     _ = real_trunk(jnp.zeros((batch, 8077, 128), bf))
 
+    # --- the ACTUAL pallas kernels the fused act program runs (front_fused,
+    # decoder_head_v2) and a per-grid-step overhead probe. The overhead probe
+    # streams the same 128 MB (d0-sized copy) through grids of 100 / 25 / 5
+    # steps: if time falls as the step count falls, the kernels pay a fixed
+    # per-grid-step cost that batching multiplies (grid leads with batch).
+    from voxactb_tpu.ops.pallas.decoder_head_v2 import decoder_head_v2
+    from voxactb_tpu.ops.pallas.front_fused import front_fused
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w1_ff = jnp.asarray(rng.normal(size=(10, 64)).astype(np.float32) * .1)
+    b1_ff = jnp.zeros((64,), jnp.float32)
+    wp_ff = jnp.asarray(rng.normal(size=(5, 5, 5, 64, 64)).astype(np.float32) * .1)
+    kf_v2 = jnp.asarray(rng.normal(size=(3, 3, 3, 128, 64)).astype(np.float32) * .1, bf)
+    bf_v2 = jnp.zeros((64,), jnp.float32)
+    wt_v2 = jnp.asarray(rng.normal(size=(1, 3, 3, 3, 64, 1)).astype(np.float32) * .1, bf)
+    bt_v2 = jnp.zeros((1,), jnp.float32)
+
+    def copy_rows_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    def grid_copy(x, rows_per_step: int):
+        b, n, h, w, c = x.shape
+        g = n // rows_per_step
+        return pl.pallas_call(
+            copy_rows_kernel,
+            grid=(b, g),
+            in_specs=[pl.BlockSpec((1, rows_per_step, h, w, c),
+                                   lambda bb, tt: (bb, tt, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, rows_per_step, h, w, c),
+                                   lambda bb, tt: (bb, tt, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x)
+
     # (input with leading N_CHAIN axis, op) — scan consumes a fresh slice per step so
     # XLA cannot hoist the op out of the loop
     stages = {
+        "front_fused@100": (
+            (pts, ptf),
+            lambda xs: front_fused(xs[0], xs[1], vox_bounds, w1_ff, b1_ff,
+                                   wp_ff, voxel_size=100)),
+        "decoder_v2_tail@100": (
+            (d0, d0),
+            lambda xs: decoder_head_v2(xs[0], xs[1], kf_v2, bf_v2,
+                                       wt_v2, bt_v2)),
+        "grid_copy_1row@100": (d0, lambda x: grid_copy(x, 1)),
+        "grid_copy_4row@100": (d0, lambda x: grid_copy(x, 4)),
+        "grid_copy_20row@100": (d0, lambda x: grid_copy(x, 20)),
         "voxelize_32k->100^3": (
             (pts, ptf),
             lambda xs: voxelize(xs[0], xs[1], vox_bounds, voxel_size=100)),
