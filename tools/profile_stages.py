@@ -42,16 +42,25 @@ def main(batch: int = 1):
     rng = np.random.default_rng(0)
     bf = jnp.bfloat16
 
-    grid10 = jnp.asarray(rng.normal(size=(N_CHAIN, batch, N, N, N, 10)).astype(
-        np.float32), bf)
-    d0 = jnp.asarray(rng.normal(size=(N_CHAIN, batch, N, N, N, 64)).astype(
-        np.float32), bf)
-    cat128 = jnp.asarray(rng.normal(size=(N_CHAIN, batch, N, N, N, 128)).astype(
-        np.float32), bf)
-    small = jnp.asarray(rng.normal(size=(N_CHAIN, batch, S, S, S, 128)).astype(
-        np.float32), bf)
-    seq = jnp.asarray(rng.normal(size=(N_CHAIN, batch, 8077, 128)).astype(
-        np.float32), bf)
+    # the big grid tensors scale with batch (d0 at batch 8 is 1 GB per chain
+    # step) — shrink the chain so the largest stage input (cat128, 2x d0)
+    # stays under ~4 GB of HBM, and synthesize on DEVICE (host numpy for
+    # d0@batch8 alone would be 8e9 normals / 33 GB of host RAM)
+    n_chain = max(2, min(N_CHAIN, int(4e9 / (batch * N ** 3 * 128 * 2))))
+    if n_chain != N_CHAIN:
+        print(json.dumps({"note": f"chain shortened to {n_chain} at "
+                                  f"batch {batch} to fit HBM"}), flush=True)
+
+    def dev_normal(key, shape, dtype=bf):
+        return jax.jit(
+            lambda k: jax.random.normal(k, shape, jnp.float32).astype(dtype),
+        )(jax.random.key(key))
+
+    grid10 = dev_normal(0, (n_chain, batch, N, N, N, 10))
+    d0 = dev_normal(1, (n_chain, batch, N, N, N, 64))
+    cat128 = dev_normal(2, (n_chain, batch, N, N, N, 128))
+    small = dev_normal(3, (n_chain, batch, S, S, S, 128))
+    seq = dev_normal(4, (n_chain, batch, 8077, 128))
 
     k1 = jnp.asarray(rng.normal(size=(1, 1, 1, 10, 64)).astype(np.float32) * .1, bf)
     k5s5 = jnp.asarray(rng.normal(size=(5, 5, 5, 64, 64)).astype(np.float32) * .1, bf)
@@ -126,9 +135,9 @@ def main(batch: int = 1):
 
     from voxactb_tpu.ops.voxelize import voxelize
 
-    pts = jnp.asarray(rng.uniform(-0.5, 1.5, (N_CHAIN, batch, 32768, 3)).astype(
+    pts = jnp.asarray(rng.uniform(-0.5, 1.5, (n_chain, batch, 32768, 3)).astype(
         np.float32))
-    ptf = jnp.asarray(rng.uniform(-1, 1, (N_CHAIN, batch, 32768, 3)).astype(
+    ptf = jnp.asarray(rng.uniform(-1, 1, (n_chain, batch, 32768, 3)).astype(
         np.float32))
     vox_bounds = jnp.asarray([[-0.8, -1.0, 0.1, 1.2, 1.0, 2.1]] * batch,
                              jnp.float32)
@@ -263,9 +272,12 @@ def main(batch: int = 1):
         t0 = time.time()
         np.asarray(cfn(inp))
         compile_s = time.time() - t0
-        t0 = time.time()
-        np.asarray(cfn(inp))
-        per_step_ms = (time.time() - t0) / N_CHAIN * 1000
+        walls = []
+        for _ in range(3):  # median of 3: the relay jitters run-to-run
+            t0 = time.time()
+            np.asarray(cfn(inp))
+            walls.append(time.time() - t0)
+        per_step_ms = sorted(walls)[1] / n_chain * 1000
         results[name] = round(per_step_ms, 2)
         print(json.dumps({"stage": name, "per_step_ms": results[name],
                           "compile_s": round(compile_s, 1)}), flush=True)
