@@ -585,16 +585,21 @@ def main():
         out["batched8_ceiling_acts_per_s"] = round(
             8e3 / sol_b8_relay["sol_ms"], 1)
         # per-stage relay ceilings at batch 8: the quantified proof of why
-        # batching cannot pay on a bandwidth-starved part — every major stage's
-        # ceiling is its memory term (bound=mem), so 8x the work is ~8x the time
+        # batching cannot pay on a bandwidth-starved part. Iterate the UNION of
+        # flop- and byte-stage keys: the tail's memory floor lives under
+        # "decoder_tail" while its FLOPs live under final_conv/trans/stats_u —
+        # the old flops-keyed table silently dropped the 31.5 ms decoder_tail
+        # memory term (caught by the round-4 measured-vs-SOL comparison)
+        stage_keys = (set(cost_b8["flops_by_stage"])
+                      | set(cost_b8["bytes_by_stage"]))
         out["batched8_stage_ceiling_ms"] = {
             k: {"ms": round(max(
-                    cost_b8["flops_by_stage"][k] / relay_flops,
+                    cost_b8["flops_by_stage"].get(k, 0.0) / relay_flops,
                     cost_b8["bytes_by_stage"].get(k, 0.0) / relay_bw) * 1e3, 2),
                 "bound": ("mem" if cost_b8["bytes_by_stage"].get(k, 0.0)
-                          / relay_bw > cost_b8["flops_by_stage"][k]
+                          / relay_bw > cost_b8["flops_by_stage"].get(k, 0.0)
                           / relay_flops else "mxu")}
-            for k in cost_b8["flops_by_stage"]
+            for k in sorted(stage_keys)
         }
     if train_sps is not None:
         out["train50_samples_per_s"] = round(float(train_sps), 2)

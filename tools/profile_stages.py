@@ -235,9 +235,13 @@ def main(batch: int = 1):
             (d0, d0),
             lambda xs: decoder_head_v2(xs[0], xs[1], kf_v2, bf_v2,
                                        wt_v2, bt_v2)),
+        # 1-row vs 4-row measured IDENTICAL (31.0 vs 31.7 ms for 2.05 GB at
+        # batch 8, 2026-08-19): per-grid-step overhead is negligible and the
+        # platform's true streaming bandwidth is ~66 GB/s. A 20-row variant
+        # OOMs VMEM (25.6 MB windows x double-buffer x in+out = 203 MB) — keep
+        # blocks comfortably under ~8 MB per operand.
         "grid_copy_1row@100": (d0, lambda x: grid_copy(x, 1)),
         "grid_copy_4row@100": (d0, lambda x: grid_copy(x, 4)),
-        "grid_copy_20row@100": (d0, lambda x: grid_copy(x, 20)),
         "voxelize_32k->100^3": (
             (pts, ptf),
             lambda xs: voxelize(xs[0], xs[1], vox_bounds, voxel_size=100)),
