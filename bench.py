@@ -35,6 +35,9 @@ PALLAS_DECODER = os.environ.get("BENCH_PALLAS_DECODER", "1") == "1"
 # v3 inline-upsample tail (u0 never in HBM): wins on the bandwidth-starved
 # relay; flip default after the on-chip A/B proves it (tools/probe_decoder_ab)
 PALLAS_DECODER_V3 = os.environ.get("BENCH_PALLAS_DECODER_V3", "0") == "1"
+# K-concat z-accumulation tail schedule (decoder_head_v2c): 3 MXU-accumulated
+# dots/row instead of 9 VMEM-accumulated; default from the on-chip paired A/B
+PALLAS_DECODER_V2C = os.environ.get("BENCH_PALLAS_DECODER_V2C", "0") == "1"
 PALLAS_ENCODER = os.environ.get("BENCH_PALLAS_ENCODER", "1") == "1"
 # round-3 fully fused front (voxelize+preprocess+stats+patchify, one kernel)
 PALLAS_FRONT = os.environ.get("BENCH_PALLAS_FRONT", "1") == "1"
@@ -218,6 +221,7 @@ def build_dual_chain(n_steps: int = 32):
                        compute_dtype="bfloat16", zshift_conv3d=True,
                        pallas_decoder=PALLAS_DECODER,
                        pallas_decoder_v3=PALLAS_DECODER_V3,
+                       pallas_decoder_v2c=PALLAS_DECODER_V2C,
                        pallas_encoder=PALLAS_ENCODER,
                        pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)
@@ -445,6 +449,7 @@ def main():
                            compute_dtype="bfloat16", zshift_conv3d=True,
                            pallas_decoder=PALLAS_DECODER,
                            pallas_decoder_v3=PALLAS_DECODER_V3,
+                       pallas_decoder_v2c=PALLAS_DECODER_V2C,
                            pallas_encoder=PALLAS_ENCODER,
                            pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)
@@ -454,6 +459,7 @@ def main():
                            compute_dtype="bfloat16", zshift_conv3d=True,
                            pallas_decoder=PALLAS_DECODER,
                            pallas_decoder_v3=PALLAS_DECODER_V3,
+                       pallas_decoder_v2c=PALLAS_DECODER_V2C,
                            pallas_encoder=PALLAS_ENCODER,
                            pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)
@@ -523,6 +529,7 @@ def main():
                              compute_dtype="bfloat16", zshift_conv3d=True,
                              pallas_decoder=PALLAS_DECODER,
                            pallas_decoder_v3=PALLAS_DECODER_V3,
+                       pallas_decoder_v2c=PALLAS_DECODER_V2C,
                              pallas_encoder=PALLAS_ENCODER,
                              pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)

@@ -192,6 +192,7 @@ def main(batch: int = 1):
     # steps: if time falls as the step count falls, the kernels pay a fixed
     # per-grid-step cost that batching multiplies (grid leads with batch).
     from voxactb_tpu.ops.pallas.decoder_head_v2 import decoder_head_v2
+    from voxactb_tpu.ops.pallas.decoder_head_v2c import decoder_head_v2c
     from voxactb_tpu.ops.pallas.front_fused import front_fused
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -231,10 +232,22 @@ def main(batch: int = 1):
             (pts, ptf),
             lambda xs: front_fused(xs[0], xs[1], vox_bounds, w1_ff, b1_ff,
                                    wp_ff, voxel_size=100)),
+        # scatter-cost isolation: row_cap clamps the serial per-point loop
+        # (wrong output, timing only). cap64 runs ~1/5 the scatter iterations
+        # of the real ~330/row — the time delta to the full kernel IS the
+        # serial-scatter share.
+        "front_fused_cap64@100": (
+            (pts, ptf),
+            lambda xs: front_fused(xs[0], xs[1], vox_bounds, w1_ff, b1_ff,
+                                   wp_ff, voxel_size=100, row_cap=64)),
         "decoder_v2_tail@100": (
             (d0, d0),
             lambda xs: decoder_head_v2(xs[0], xs[1], kf_v2, bf_v2,
                                        wt_v2, bt_v2)),
+        "decoder_v2c_tail@100": (
+            (d0, d0),
+            lambda xs: decoder_head_v2c(xs[0], xs[1], kf_v2, bf_v2,
+                                        wt_v2, bt_v2)),
         # 1-row vs 4-row measured IDENTICAL (31.0 vs 31.7 ms for 2.05 GB at
         # batch 8, 2026-08-19): per-grid-step overhead is negligible and the
         # platform's true streaming bandwidth is ~66 GB/s. A 20-row variant

@@ -72,6 +72,7 @@ def build_encoder(cfg: MethodConfig, low_dim_size: Optional[int] = None
         zshift_conv3d=cfg.zshift_conv3d,
         pallas_decoder=cfg.pallas_decoder,
         pallas_decoder_v3=cfg.pallas_decoder_v3,
+        pallas_decoder_v2c=cfg.pallas_decoder_v2c,
         pallas_encoder=cfg.pallas_encoder,
         pallas_attention=cfg.pallas_attention,
         pallas_interpret=cfg.pallas_interpret,

@@ -100,6 +100,9 @@ class MethodConfig:
     pallas_decoder_v3: bool = False  # inline-upsample decoder tail: u0 never
     # materializes in HBM; wins on bandwidth-starved parts (takes precedence
     # over pallas_decoder when both are set and the config is eligible)
+    pallas_decoder_v2c: bool = False  # K-concat z-accumulation schedule for
+    # the tail kernel (decoder_head_v2c): 3 MXU-accumulated dots/row instead
+    # of 9 VMEM-accumulated ones; flip after the on-chip paired A/B
     pallas_encoder: bool = False    # fused preprocess+stats kernel (TPU inference)
     pallas_front: bool = False      # fully fused voxelize+preprocess+stats+patchify
     # kernel (TPU inference; subsumes pallas_encoder and skips the dense grid)

@@ -179,6 +179,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
     zshift_conv3d: bool = True   # decompose big stride-1 convs into 2D convs
     pallas_decoder: bool = False  # fused final+trans+stats decoder tail (TPU,
     # inference only — training always takes the differentiable XLA ops)
+    pallas_decoder_v2c: bool = False  # K-concat z-accumulation tail schedule
     pallas_decoder_v3: bool = False  # inline-upsample decoder tail: u0 never
     # materializes in HBM (ops/pallas/decoder_head_v3.py). Wins on bandwidth-
     # starved parts; the XLA-upsample + v1/v2 tail can win on physical HBM.
@@ -382,9 +383,16 @@ class PerceiverVoxelLangEncoder(nn.Module):
             # v2 schedule is the default tail kernel: argmax-identical to v1 on
             # chip and faster (tools/probe_decoder_ab.py); v1 stays as the
             # reference implementation the test suite cross-checks against.
-            from voxactb_tpu.ops.pallas.decoder_head_v2 import (
-                decoder_head_v2 as decoder_head,
-            )
+            # v2c folds the z-accumulation into the MXU (K-concat) — parity in
+            # tests/test_decoder_v2.py, gated until the on-chip paired A/B.
+            if self.pallas_decoder_v2c:
+                from voxactb_tpu.ops.pallas.decoder_head_v2c import (
+                    decoder_head_v2c as decoder_head,
+                )
+            else:
+                from voxactb_tpu.ops.pallas.decoder_head_v2 import (
+                    decoder_head_v2 as decoder_head,
+                )
             from voxactb_tpu.ops.pallas.decoder_head_v3 import decoder_head_v3
 
             dummy_cat = jnp.zeros(
