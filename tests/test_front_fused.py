@@ -147,3 +147,21 @@ def test_front_fused_empty_and_crop_bounds(setup):
         voxel_size=10, row_cap=256, interpret=True)
     for t in (d0, patch, kp, gmax):
         assert np.isfinite(np.asarray(t, np.float32)).all()
+
+
+def test_front_fused_scatter_unroll_matches_serial(setup):
+    """8-plane unrolled scatter must reproduce the serial schedule (same f32
+    sums in a different order) — including the cnt-masked occupancy count."""
+    from voxactb_tpu.ops.pallas.front_fused import front_fused
+
+    args = (jnp.asarray(setup["coords"]), jnp.asarray(setup["feats"]),
+            jnp.asarray(setup["bounds"]), jnp.asarray(setup["w1"]),
+            jnp.asarray(setup["b1"]), jnp.asarray(setup["wp"]))
+    out1 = front_fused(*args, voxel_size=setup["n"], row_cap=1024,
+                       interpret=True)
+    out8 = front_fused(*args, voxel_size=setup["n"], row_cap=1024,
+                       interpret=True, scatter_unroll=8)
+    for a, b, name in zip(out1, out8, ("d0", "patch", "kp", "gmax")):
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32),
+            atol=2e-2, rtol=2e-2, err_msg=name)

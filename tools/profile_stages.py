@@ -240,6 +240,10 @@ def main(batch: int = 1):
             (pts, ptf),
             lambda xs: front_fused(xs[0], xs[1], vox_bounds, w1_ff, b1_ff,
                                    wp_ff, voxel_size=100, row_cap=64)),
+        "front_fused_unroll8@100": (
+            (pts, ptf),
+            lambda xs: front_fused(xs[0], xs[1], vox_bounds, w1_ff, b1_ff,
+                                   wp_ff, voxel_size=100, scatter_unroll=8)),
         "decoder_v2_tail@100": (
             (d0, d0),
             lambda xs: decoder_head_v2(xs[0], xs[1], kf_v2, bf_v2,

@@ -105,34 +105,66 @@ def sort_points_by_row(coords, feats, coord_bounds, *, voxel_size: int,
 def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
             pos_smem_ref,
             d0_ref, patch_ref, kp_ref, gmax_ref,
-            accum, xyp, pacc, stats, *, n: int, c: int, interpret: bool):
+            accum, xyp, pacc, stats, *, n: int, c: int, interpret: bool,
+            scatter_unroll: int = 1):
     bb = pl.program_id(0)
     t = pl.program_id(1)
     s = n // 5
-    np8 = accum.shape[1]
+    np8 = accum.shape[-2]
 
     @pl.when(t == 0)
     def _init():
         stats_init(stats)
 
-    # 1) serial scatter of this row's points
+    # 1) scatter of this row's points. With scatter_unroll > 1 the accumulator
+    # carries that many independent planes and each fori_loop iteration posts
+    # one read-modify-write PER PLANE: the u-wide group breaks the serial
+    # RMW dependency chain through a single accumulator (plane p only ever
+    # sees point indices i*u+p), letting the VMEM accesses pipeline. Two
+    # points of a group can share (iy, ix) — they land in different planes,
+    # so the f32 sum is exact; only summation ORDER differs from the serial
+    # schedule (within-f32-rounding of the XLA scatter path either way).
     accum[...] = jnp.zeros_like(accum)
+    u = scatter_unroll
 
     def scatter_body(i, _):
-        row = payload_ref[0, 0, pl.ds(i, 1), :]            # [1, 8]
-        iy = row[0, 6].astype(jnp.int32)
-        ix = row[0, 7].astype(jnp.int32)
-        vals = jnp.concatenate(
-            [row[:, 0:6], jnp.ones((1, 1), jnp.float32),
-             jnp.zeros((1, 1), jnp.float32)], axis=-1)
-        cur = accum[pl.ds(iy, 1), pl.ds(ix, 1), :]
-        accum[pl.ds(iy, 1), pl.ds(ix, 1), :] = cur + vals[:, None, :]
+        if u == 1:
+            row = payload_ref[0, 0, pl.ds(i, 1), :]        # [1, 8]
+            iy = row[0, 6].astype(jnp.int32)
+            ix = row[0, 7].astype(jnp.int32)
+            vals = jnp.concatenate(
+                [row[:, 0:6], jnp.ones((1, 1), jnp.float32),
+                 jnp.zeros((1, 1), jnp.float32)], axis=-1)
+            cur = accum[0, pl.ds(iy, 1), pl.ds(ix, 1), :]
+            accum[0, pl.ds(iy, 1), pl.ds(ix, 1), :] = cur + vals[:, None, :]
+            return 0
+        block = payload_ref[0, 0, pl.ds(i * u, u), :]      # [u, 8]
+        cnt = cnt_ref[bb, t]
+        for p in range(u):
+            idx = i * u + p
+            row = block[p:p + 1, :]
+            iy = row[0, 6].astype(jnp.int32)
+            ix = row[0, 7].astype(jnp.int32)
+            # rows past cnt are zero-masked by sort_points_by_row EXCEPT the
+            # occupancy count this kernel appends — gate it explicitly
+            count = jnp.where(idx < cnt, 1.0, 0.0)
+            vals = jnp.concatenate(
+                [row[:, 0:6], count.reshape(1, 1),
+                 jnp.zeros((1, 1), jnp.float32)], axis=-1)
+            cur = accum[p, pl.ds(iy, 1), pl.ds(ix, 1), :]
+            accum[p, pl.ds(iy, 1), pl.ds(ix, 1), :] = cur + vals[:, None, :]
         return 0
 
-    jax.lax.fori_loop(0, cnt_ref[bb, t], scatter_body, 0, unroll=False)
+    if u == 1:
+        jax.lax.fori_loop(0, cnt_ref[bb, t], scatter_body, 0, unroll=False)
+    else:
+        jax.lax.fori_loop(0, (cnt_ref[bb, t] + u - 1) // u, scatter_body, 0,
+                          unroll=False)
 
     # 2) grid row: mean(6) | dim0/N | dim1/N | dim2/N | occupancy | pad
-    acc = accum[...]
+    acc = accum[0, ...]
+    for p in range(1, u):
+        acc = acc + accum[p, ...]
     count = acc[:, :, 6:7]
     mean6 = acc[:, :, 0:6] / jnp.maximum(count, 1.0)
     occ = (count > 0).astype(jnp.float32)
@@ -210,9 +242,10 @@ def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("voxel_size", "row_cap",
-                                             "interpret"))
+                                             "interpret", "scatter_unroll"))
 def front_fused(coords, feats, coord_bounds, w1, b1, wp, *,
-                voxel_size: int, row_cap: int = 2048, interpret: bool = False):
+                voxel_size: int, row_cap: int = 2048, interpret: bool = False,
+                scatter_unroll: int = 1):
     """Fused voxelize + preprocess-conv + stats + patchify.
 
     Args:
@@ -224,6 +257,7 @@ def front_fused(coords, feats, coord_bounds, w1, b1, wp, *,
     Returns (d0 [B,N,N,N,C] bf16, patch_pre [B,s,s,s,C] f32 — PRE-activation;
     the caller adds the patchify bias + lrelu — kp [B, C*3] f32, gmax [B, C] f32).
     """
+    assert row_cap % scatter_unroll == 0, "row_cap must divide by the unroll"
     b, p, _ = coords.shape
     n = voxel_size
     s = n // 5
@@ -254,7 +288,8 @@ def front_fused(coords, feats, coord_bounds, w1, b1, wp, *,
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     d0, patch, kp3, gmax = pl.pallas_call(
-        functools.partial(_kernel, n=n, c=c, interpret=interpret),
+        functools.partial(_kernel, n=n, c=c, interpret=interpret,
+                          scatter_unroll=scatter_unroll),
         grid=(b, n),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),             # row_count [B, N]
@@ -283,7 +318,7 @@ def front_fused(coords, feats, coord_bounds, w1, b1, wp, *,
             jax.ShapeDtypeStruct((b, 1, cdim), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, np8, 8), jnp.float32),              # scatter accum
+            pltpu.VMEM((scatter_unroll, n, np8, 8), jnp.float32),  # scatter accum
             pltpu.VMEM((n + 4, npad, c), dt),                  # edge-padded row
             pltpu.VMEM((s, np8, c), jnp.float32),              # patch slab accum
             pltpu.VMEM((5, cdim), jnp.float32),                # stats
