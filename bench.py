@@ -38,6 +38,9 @@ PALLAS_DECODER_V3 = os.environ.get("BENCH_PALLAS_DECODER_V3", "0") == "1"
 # K-concat z-accumulation tail schedule (decoder_head_v2c): 3 MXU-accumulated
 # dots/row instead of 9 VMEM-accumulated; default from the on-chip paired A/B
 PALLAS_DECODER_V2C = os.environ.get("BENCH_PALLAS_DECODER_V2C", "0") == "1"
+# plane-split width of the front kernel's serial scatter loop (8 breaks the
+# RMW dependency chain); default from the on-chip paired A/B
+FRONT_UNROLL = int(os.environ.get("BENCH_FRONT_UNROLL", "1"))
 PALLAS_ENCODER = os.environ.get("BENCH_PALLAS_ENCODER", "1") == "1"
 # round-3 fully fused front (voxelize+preprocess+stats+patchify, one kernel)
 PALLAS_FRONT = os.environ.get("BENCH_PALLAS_FRONT", "1") == "1"
@@ -222,6 +225,7 @@ def build_dual_chain(n_steps: int = 32):
                        pallas_decoder=PALLAS_DECODER,
                        pallas_decoder_v3=PALLAS_DECODER_V3,
                        pallas_decoder_v2c=PALLAS_DECODER_V2C,
+                       front_scatter_unroll=FRONT_UNROLL,
                        pallas_encoder=PALLAS_ENCODER,
                        pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)
@@ -450,6 +454,7 @@ def main():
                            pallas_decoder=PALLAS_DECODER,
                            pallas_decoder_v3=PALLAS_DECODER_V3,
                        pallas_decoder_v2c=PALLAS_DECODER_V2C,
+                       front_scatter_unroll=FRONT_UNROLL,
                            pallas_encoder=PALLAS_ENCODER,
                            pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)
@@ -460,6 +465,7 @@ def main():
                            pallas_decoder=PALLAS_DECODER,
                            pallas_decoder_v3=PALLAS_DECODER_V3,
                        pallas_decoder_v2c=PALLAS_DECODER_V2C,
+                       front_scatter_unroll=FRONT_UNROLL,
                            pallas_encoder=PALLAS_ENCODER,
                            pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)
@@ -530,6 +536,7 @@ def main():
                              pallas_decoder=PALLAS_DECODER,
                            pallas_decoder_v3=PALLAS_DECODER_V3,
                        pallas_decoder_v2c=PALLAS_DECODER_V2C,
+                       front_scatter_unroll=FRONT_UNROLL,
                              pallas_encoder=PALLAS_ENCODER,
                              pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)

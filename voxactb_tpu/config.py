@@ -106,6 +106,8 @@ class MethodConfig:
     pallas_encoder: bool = False    # fused preprocess+stats kernel (TPU inference)
     pallas_front: bool = False      # fully fused voxelize+preprocess+stats+patchify
     # kernel (TPU inference; subsumes pallas_encoder and skips the dense grid)
+    front_scatter_unroll: int = 1   # plane-split width of the front kernel's
+    # serial scatter loop (8 breaks the RMW dependency chain; A/B on chip)
     pallas_attention: bool = False  # flash attention in the perceiver trunk
     # (TPU inference, bf16): logits never materialize in HBM
     pallas_interpret: bool = False  # run pallas kernels interpreted (CPU tests)
