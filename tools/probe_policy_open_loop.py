@@ -47,21 +47,24 @@ def load_agent(seed_dir, step, which):
 
 
 def probe_episode(env, agents, ep, voxel_size, rot_res, crop_radius,
-                  episode_length):
+                  episode_length, no_duplicate=False):
     from voxactb_tpu.data.fill_replay import (
         discretize_keyframe,
         scene_bounds_from_crop_np,
     )
-    from voxactb_tpu.utils.keypoints import keypoint_discovery
+    from voxactb_tpu.utils.keypoints import KeypointConfig, keypoint_discovery
 
+    kcfg = KeypointConfig(no_duplicate=no_duplicate)
     frames, _ = env.get_demo(ep)
     dominant = env.dominant_arm()
     assistive = "left" if dominant == "right" else "right"
     per_arm = {
         dominant: keypoint_discovery(frames, which_arm="dominant",
-                                     dominant_assistive_arm=dominant)[0],
+                                     dominant_assistive_arm=dominant,
+                                     cfg=kcfg)[0],
         assistive: keypoint_discovery(frames, which_arm="assistive",
-                                      dominant_assistive_arm=assistive)[0],
+                                      dominant_assistive_arm=assistive,
+                                      cfg=kcfg)[0],
     }
 
     obs = env.reset_to_demo(ep)
@@ -171,7 +174,9 @@ def main():
     for ep in range(args.episodes):
         rows = probe_episode(env, agents, ep, cfg.method.voxel_sizes[0],
                              cfg.method.rotation_resolution, args.crop_radius,
-                             cfg.rlbench.episode_length)
+                             cfg.rlbench.episode_length,
+                             no_duplicate=cfg.method
+                             .keypoint_discovery_no_duplicate)
         print(f"\n=== episode {ep} (open-loop on oracle path) ===")
         for r in rows:
             print(json.dumps(r))
