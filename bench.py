@@ -47,6 +47,9 @@ PALLAS_FRONT = os.environ.get("BENCH_PALLAS_FRONT", "1") == "1"
 # flash attention in the perceiver trunk (logits never in HBM); default set
 # by the round-4 paired A/B (tools/profile_stages.py real_attn_trunk[_flash])
 PALLAS_ATTN = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
+# fused rel-pos attention for the SAM ViT-H WINDOWED blocks too (the global
+# blocks always fuse at bf16); default from the on-chip A/B (profile_sam.py)
+SAM_FUSED_WINDOWED = os.environ.get("BENCH_SAM_FUSED_WINDOWED", "0") == "1"
 
 
 def make_decode(cfg, batch):
@@ -420,7 +423,7 @@ def time_sam_h(n_frames: int = 2):
 
     from voxactb_tpu.models.sam_encoder import sam_vit_h
 
-    sam = sam_vit_h(dtype=jnp.bfloat16)
+    sam = sam_vit_h(dtype=jnp.bfloat16, fused_windowed=SAM_FUSED_WINDOWED)
     params = jax.jit(sam.init)(jax.random.key(0), jnp.zeros((1, 1024, 1024, 3)))
     f = jax.jit(sam.apply)
     rng = np.random.default_rng(0)

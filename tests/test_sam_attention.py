@@ -81,3 +81,29 @@ def test_encoder_fused_matches_xla(rng):
 def test_rel_pos_embed_shapes():
     r = _rel_pos_embed(4, 4, jnp.ones((7, 5)))
     assert r.shape == (4, 4, 5)
+
+
+def test_encoder_fused_windowed_matches_xla(rng):
+    """Windowed blocks through the same kernel (kh=kw=window): parity vs the
+    XLA path on a tiny encoder whose block 0 is windowed and block 1 global."""
+    def enc(fused_win):
+        return SamImageEncoder(
+            img_size=64, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+            window_size=4, global_attn_indexes=(1,), out_chans=16,
+            fused_global=False, fused_windowed=fused_win,
+            fused_interpret=True, dtype=jnp.bfloat16)
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    params = enc(False).init(jax.random.key(0), x)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    for kk in flat:
+        if "rel_pos" in "/".join(kk):
+            flat[kk] = 0.1 * np.arange(np.prod(flat[kk].shape)).reshape(
+                flat[kk].shape).astype(np.float32)
+    params = {"params": flax.traverse_util.unflatten_dict(flat)}
+
+    out_xla = np.asarray(enc(False).apply(params, x), np.float32)
+    out_fused = np.asarray(enc(True).apply(params, x), np.float32)
+    np.testing.assert_allclose(out_fused, out_xla, atol=5e-2, rtol=5e-2)

@@ -49,20 +49,23 @@ def main():
 
     results = {}
 
-    def enc(fused):
+    def enc(fused, fused_win=False):
         return SamImageEncoder(embed_dim=1280, depth=32, num_heads=16,
                                global_attn_indexes=(7, 15, 23, 31),
-                               fused_global=fused, dtype=bf)
+                               fused_global=fused, fused_windowed=fused_win,
+                               dtype=bf)
 
     e = enc(False)
     params = jax.jit(e.init)(jax.random.key(0), img)
 
-    for fused in (False, True):
-        f = jax.jit(enc(fused).apply)
+    for name, fused, fused_win in (("False", False, False),
+                                   ("True", True, False),
+                                   ("True+win", True, True)):
+        f = jax.jit(enc(fused, fused_win).apply)
         s = timed(f, params, img)
-        results[f"vit_h_ms_fused={fused}"] = round(s * 1e3, 1)
-        print(json.dumps({"probe": f"vit_h fused={fused}",
-                          "ms_per_frame": results[f"vit_h_ms_fused={fused}"]}),
+        results[f"vit_h_ms_fused={name}"] = round(s * 1e3, 1)
+        print(json.dumps({"probe": f"vit_h fused={name}",
+                          "ms_per_frame": results[f"vit_h_ms_fused={name}"]}),
               flush=True)
 
     if not args.skip_blocks:
@@ -72,11 +75,13 @@ def main():
 
         def block(window, fused):
             return SamBlock(1280, 16, window_size=window, grid_size=(64, 64),
-                            fused_global=fused, dtype=bf)
+                            fused_global=fused, fused_windowed=fused,
+                            dtype=bf)
 
         for name, window, fused in (("global_xla", 0, False),
                                     ("global_fused", 0, True),
-                                    ("windowed", 14, False)):
+                                    ("windowed", 14, False),
+                                    ("windowed_fused", 14, True)):
             m = block(window, fused)
             p = jax.jit(block(window, False).init)(jax.random.key(1), x)
 

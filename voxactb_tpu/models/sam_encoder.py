@@ -142,6 +142,7 @@ class SamBlock(nn.Module):
     grid_size: Tuple[int, int] = (64, 64)
     mlp_ratio: float = 4.0
     fused_global: bool = False
+    fused_windowed: bool = False
     fused_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -155,9 +156,14 @@ class SamBlock(nn.Module):
             inp = (self.window_size, self.window_size)
         else:
             inp = self.grid_size
+        # the kernel is shape-generic: the windowed blocks' [nW*heads, 196,
+        # 196] f32 logits (+ the 6-D rel-pos broadcast view) are smaller per
+        # block than the global blocks' but there are 28 of them — fusing
+        # them is the same VMEM-resident-logits win at kh=kw=window
+        fuse = (self.fused_global if self.window_size == 0
+                else self.fused_windowed)
         y = WindowAttention(self.dim, self.num_heads, input_size=inp,
-                            fused_global=(self.fused_global
-                                          and self.window_size == 0),
+                            fused_global=fuse,
                             fused_interpret=self.fused_interpret,
                             dtype=self.dtype, name="attn")(y)
         if self.window_size > 0:
@@ -184,6 +190,9 @@ class SamImageEncoder(nn.Module):
     # fused global-attention kernel: engages only at bf16 (the perf dtype);
     # f32 runs (parity tests vs torch) keep the XLA formulation
     fused_global: bool = True
+    # same kernel for the 28 windowed blocks (kh=kw=window); default follows
+    # the on-chip A/B (tools/profile_sam.py)
+    fused_windowed: bool = False
     fused_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -202,6 +211,7 @@ class SamImageEncoder(nn.Module):
                 self.embed_dim, self.num_heads,
                 window_size=0 if i in self.global_attn_indexes else self.window_size,
                 grid_size=(g, g), fused_global=self.fused_global,
+                fused_windowed=self.fused_windowed,
                 fused_interpret=self.fused_interpret,
                 dtype=self.dtype, name=f"block_{i}",
             )(x)
@@ -216,9 +226,10 @@ class SamImageEncoder(nn.Module):
         return x.astype(jnp.float32)  # [B, g, g, 256]
 
 
-def sam_vit_h(dtype=jnp.float32) -> SamImageEncoder:
+def sam_vit_h(dtype=jnp.float32, **kw) -> SamImageEncoder:
     return SamImageEncoder(embed_dim=1280, depth=32, num_heads=16,
-                           global_attn_indexes=(7, 15, 23, 31), dtype=dtype)
+                           global_attn_indexes=(7, 15, 23, 31), dtype=dtype,
+                           **kw)
 
 
 def sam_vit_l(dtype=jnp.float32) -> SamImageEncoder:

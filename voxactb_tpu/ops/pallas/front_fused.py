@@ -127,14 +127,20 @@ def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
     accum[...] = jnp.zeros_like(accum)
     u = scatter_unroll
 
+    # lane masks: vals = row with lanes 6..7 replaced by [count, 0]. Built
+    # by select instead of jnp.concatenate — Mosaic cannot concat operands
+    # whose lane offsets differ ("result/input offset mismatch on non-concat
+    # dimension" for [1,6]+[1,1]+[1,1]), a mask-multiply keeps one layout.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    keep6 = (lane < 6).astype(jnp.float32)
+    unit6 = (lane == 6).astype(jnp.float32)
+
     def scatter_body(i, _):
         if u == 1:
             row = payload_ref[0, 0, pl.ds(i, 1), :]        # [1, 8]
             iy = row[0, 6].astype(jnp.int32)
             ix = row[0, 7].astype(jnp.int32)
-            vals = jnp.concatenate(
-                [row[:, 0:6], jnp.ones((1, 1), jnp.float32),
-                 jnp.zeros((1, 1), jnp.float32)], axis=-1)
+            vals = row * keep6 + unit6
             cur = accum[0, pl.ds(iy, 1), pl.ds(ix, 1), :]
             accum[0, pl.ds(iy, 1), pl.ds(ix, 1), :] = cur + vals[:, None, :]
             return 0
@@ -148,9 +154,7 @@ def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
             # rows past cnt are zero-masked by sort_points_by_row EXCEPT the
             # occupancy count this kernel appends — gate it explicitly
             count = jnp.where(idx < cnt, 1.0, 0.0)
-            vals = jnp.concatenate(
-                [row[:, 0:6], count.reshape(1, 1),
-                 jnp.zeros((1, 1), jnp.float32)], axis=-1)
+            vals = row * keep6 + unit6 * count
             cur = accum[p, pl.ds(iy, 1), pl.ds(ix, 1), :]
             accum[p, pl.ds(iy, 1), pl.ds(ix, 1), :] = cur + vals[:, None, :]
         return 0
