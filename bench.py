@@ -48,8 +48,10 @@ PALLAS_FRONT = os.environ.get("BENCH_PALLAS_FRONT", "1") == "1"
 # by the round-4 paired A/B (tools/profile_stages.py real_attn_trunk[_flash])
 PALLAS_ATTN = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
 # fused rel-pos attention for the SAM ViT-H WINDOWED blocks too (the global
-# blocks always fuse at bf16); default from the on-chip A/B (profile_sam.py)
-SAM_FUSED_WINDOWED = os.environ.get("BENCH_SAM_FUSED_WINDOWED", "0") == "1"
+# blocks always fuse at bf16). Default ON from the paired on-chip A/B
+# (2026-08-19, tools/profile_sam.py, one process, median-of-3 full-encoder):
+# XLA 365.0 | fused-global 315.1 | fused-global+windowed 263.0 ms/frame.
+SAM_FUSED_WINDOWED = os.environ.get("BENCH_SAM_FUSED_WINDOWED", "1") == "1"
 
 
 def make_decode(cfg, batch):
