@@ -46,8 +46,32 @@ def load_agent(seed_dir, step, which):
     return agent, cfg
 
 
+def _rewrite_time(obs, t, episode_length):
+    """Overwrite the proprio time channel with the TRAIN-side value.
+
+    Training fills the channel with (1 - k/(T-1))*2-1 where k is the per-arm
+    KEYFRAME index (fill_replay -> extract_obs t=k); eval uses the global
+    rollout step (environment.py _observation_dict t=_step_count) — the same
+    train/eval inconsistency the reference has (launch_utils.py:379 t=k vs
+    custom_rlbench_env_two_robots.py:103 t=self._i). This hypothesis probe
+    feeds the policy the time value it was TRAINED to see at this keyframe;
+    if predictions snap to the oracle targets, the policy is keying on the
+    time channel and the mismatch is the eval failure.
+    """
+    time_ch = (1.0 - t / max(1, episode_length - 1)) * 2.0 - 1.0
+    obs = dict(obs)
+    for key in ("low_dim_state_right_arm", "low_dim_state_left_arm"):
+        v = np.array(obs[key], np.float32)
+        v[..., 3] = time_ch
+        obs[key] = v
+    v = np.array(obs["low_dim_state"], np.float32)
+    v[..., 6] = time_ch
+    obs["low_dim_state"] = v
+    return obs
+
+
 def probe_episode(env, agents, ep, voxel_size, rot_res, crop_radius,
-                  episode_length, no_duplicate=False):
+                  episode_length, no_duplicate=False, train_time=False):
     from voxactb_tpu.data.fill_replay import (
         discretize_keyframe,
         scene_bounds_from_crop_np,
@@ -84,6 +108,7 @@ def probe_episode(env, agents, ep, voxel_size, rot_res, crop_radius,
 
     rows = []
     res = (np.asarray(bounds[3:]) - np.asarray(bounds[:3])) / voxel_size
+    kf_counter = {"right": 0, "left": 0}
     for step in range(episode_length):
         arm = assistive if step % 2 == 0 else dominant
         q = queues[arm]
@@ -94,7 +119,10 @@ def probe_episode(env, agents, ep, voxel_size, rot_res, crop_radius,
         t_idx, rot_grip, action = q.pop(0)
 
         agent = agents["dominant"] if arm == dominant else agents["assistive"]
-        pred = agent.act(step, dict(obs), deterministic=True, which_arm=arm,
+        obs_in = (_rewrite_time(obs, kf_counter[arm], episode_length)
+                  if train_time else dict(obs))
+        kf_counter[arm] += 1
+        pred = agent.act(step, obs_in, deterministic=True, which_arm=arm,
                          new_scene_bounds=np.asarray(bounds).tolist(),
                          dominant_assitive_policy=True)
         p_t = np.asarray(pred.observation_elements["trans_action_indicies"])
@@ -156,6 +184,10 @@ def main():
     ap.add_argument("--seed", type=int, default=43)
     ap.add_argument("--crop-radius", type=float, default=0.3)
     ap.add_argument("--live", action="store_true")
+    ap.add_argument("--train-time", action="store_true",
+                    help="feed the policy the TRAIN-side time channel "
+                         "(per-arm keyframe index) instead of the eval-side "
+                         "rollout step — isolates the time-channel mismatch")
     args = ap.parse_args()
 
     from voxactb_tpu.sim.environment import BimanualTaskEnvironment
@@ -176,7 +208,8 @@ def main():
                              cfg.method.rotation_resolution, args.crop_radius,
                              cfg.rlbench.episode_length,
                              no_duplicate=cfg.method
-                             .keypoint_discovery_no_duplicate)
+                             .keypoint_discovery_no_duplicate,
+                             train_time=args.train_time)
         print(f"\n=== episode {ep} (open-loop on oracle path) ===")
         for r in rows:
             print(json.dumps(r))
