@@ -35,18 +35,27 @@ PALLAS_DECODER = os.environ.get("BENCH_PALLAS_DECODER", "1") == "1"
 # v3 inline-upsample tail (u0 never in HBM): wins on the bandwidth-starved
 # relay; flip default after the on-chip A/B proves it (tools/probe_decoder_ab)
 PALLAS_DECODER_V3 = os.environ.get("BENCH_PALLAS_DECODER_V3", "0") == "1"
-# K-concat z-accumulation tail schedule (decoder_head_v2c): 3 MXU-accumulated
-# dots/row instead of 9 VMEM-accumulated; default from the on-chip paired A/B
+# Paired act-chain A/B, 2026-08-19 (/tmp/chipq10/act_ab.log, one process,
+# median-of-3, ms/act):
+#   config   | base  | flash | v2c   | unroll8 | flash+v2c+unroll8
+#   n100 b1  | 28.85 | 27.63 | 29.59 | 28.03   | 27.15
+#   n100 b8  | 29.23 | 21.87 | 29.80 | 28.32   | 21.55
+#   n50  b1  |  8.57 |  7.77 |  8.67 |  7.05   |  6.29
+# -> flash and unroll8 win in every config (flash is the batched-8 lever:
+#    -7.4 ms/act); v2c loses solo and adds ~nothing inside the combo.
+# K-concat z-accumulation tail schedule (decoder_head_v2c): default OFF.
 PALLAS_DECODER_V2C = os.environ.get("BENCH_PALLAS_DECODER_V2C", "0") == "1"
 # plane-split width of the front kernel's serial scatter loop (8 breaks the
-# RMW dependency chain); default from the on-chip paired A/B
-FRONT_UNROLL = int(os.environ.get("BENCH_FRONT_UNROLL", "1"))
+# RMW dependency chain): default 8 from the A/B above.
+FRONT_UNROLL = int(os.environ.get("BENCH_FRONT_UNROLL", "8"))
 PALLAS_ENCODER = os.environ.get("BENCH_PALLAS_ENCODER", "1") == "1"
 # round-3 fully fused front (voxelize+preprocess+stats+patchify, one kernel)
 PALLAS_FRONT = os.environ.get("BENCH_PALLAS_FRONT", "1") == "1"
-# flash attention in the perceiver trunk (logits never in HBM); default set
-# by the round-4 paired A/B (tools/profile_stages.py real_attn_trunk[_flash])
-PALLAS_ATTN = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
+# flash attention in the perceiver trunk (logits never in HBM): default ON
+# from the A/B above. Near-tie argmax flips vs the XLA trunk are possible
+# (online-softmax rounding): 3/144 action elements at n100 b1 random-weights,
+# none at the 50^3 operating point.
+PALLAS_ATTN = os.environ.get("BENCH_PALLAS_ATTN", "1") == "1"
 # fused rel-pos attention for the SAM ViT-H WINDOWED blocks too (the global
 # blocks always fuse at bf16). Default ON from the paired on-chip A/B
 # (2026-08-19, tools/profile_sam.py, one process, median-of-3 full-encoder):
