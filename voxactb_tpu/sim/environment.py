@@ -264,6 +264,8 @@ class BimanualTaskEnvironment(BimanualEnv):
         self._step_count = 0
         self._max_tick = max_tick_per_action
         self._launched = False
+        self._episode_target_pos = None
+        self._episode_auto_radius = None
 
     # -- lifecycle ----------------------------------------------------------------------
 
@@ -283,6 +285,19 @@ class BimanualTaskEnvironment(BimanualEnv):
 
     def reset(self) -> Dict:
         self._step_count = 0
+        # the VLM-tagged object position is computed ONCE per episode and
+        # cached for every subsequent frame (scene_two_robots.py:319 resets it
+        # to None, :585 'if self.target_object_pos is None' latches it on the
+        # first observation). Tracking the object per-frame instead poisons
+        # training: open_drawer's handle moves ~20 cm when pulled, so the pull
+        # keyframe's crop bounds — and with them the discretized trans target —
+        # would recenter on the PULLED handle while eval crops once at episode
+        # start (rollout_generator.py:213-216), teaching the policy to decode
+        # the grasp position where the pull belongs (diagnosed round 4 with
+        # tools/probe_hybrid_inputs.py: dt=17 voxels = exactly the pull
+        # distance, sign flipping with episode orientation).
+        self._episode_target_pos = None
+        self._episode_auto_radius = None
         self.backend.reset_arms()
         last_err = None
         for _ in range(self.MAX_RESET_ATTEMPTS):
@@ -392,12 +407,16 @@ class BimanualTaskEnvironment(BimanualEnv):
         o.ignore_collisions = 1.0
         target = self.task.target_object_name()
         if target and getattr(self.backend, "has_object", lambda n: False)(target):
-            o.target_object_pos = self.backend.get_object(
-                target).position.astype(np.float32)
-            # reference auto radius = largest object dim + 5cm padding
-            # (vlm.py:182-192 — the full dim, not the half-extent)
-            o.auto_crop_radius = float(
-                self.backend.get_object(target).size.max() + 0.05)
+            if self._episode_target_pos is None:
+                # latch at the first frame of the episode (see reset())
+                self._episode_target_pos = self.backend.get_object(
+                    target).position.astype(np.float32).copy()
+                # reference auto radius = largest object dim + 5cm padding
+                # (vlm.py:182-192 — the full dim, not the half-extent)
+                self._episode_auto_radius = float(
+                    self.backend.get_object(target).size.max() + 0.05)
+            o.target_object_pos = self._episode_target_pos
+            o.auto_crop_radius = self._episode_auto_radius
         return o
 
     def _observation_dict(self) -> Dict:
@@ -449,12 +468,18 @@ class BimanualTaskEnvironment(BimanualEnv):
         name = self.task.target_object_name()
         if name is None:
             return None
+        if self._episode_target_pos is not None:
+            # the episode-latched position (see reset()) — the same value every
+            # stored frame carries, so eval-time crop bounds match training's
+            return self._episode_target_pos.copy()
         return self.backend.get_object(name).position.copy()
 
     def auto_crop_radius(self) -> float:
         name = self.task.target_object_name()
         if name is None:
             return 0.0
+        if self._episode_auto_radius is not None:
+            return self._episode_auto_radius
         return float(self.backend.get_object(name).size.max() / 2 + 0.05)
 
     def dominant_arm(self) -> str:
