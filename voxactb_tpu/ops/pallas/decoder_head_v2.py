@@ -36,10 +36,17 @@ from voxactb_tpu.ops.pallas.common import (
     stats_init)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "ablate"))
 def decoder_head_v2(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
-                    wt: jax.Array, bt: jax.Array, *, interpret: bool = False):
-    """Drop-in for decoder_head (same args/returns, v2 schedule)."""
+                    wt: jax.Array, bt: jax.Array, *, interpret: bool = False,
+                    ablate: str = ""):
+    """Drop-in for decoder_head (same args/returns, v2 schedule).
+
+    ``ablate`` (timing diagnostics ONLY — wrong outputs): "nostats" skips the
+    soft-argmax fold, "notrans" skips the trans-conv pass, "tap1" runs one of
+    the nine k3 taps, "dma" skips all compute (row-stream floor). Used by
+    tools/probe_decoder_parts.py to attribute the kernel's time on-chip.
+    """
     b, n, _, _, c = d0.shape
     t_heads = wt.shape[0]
     dt = d0.dtype
@@ -71,7 +78,7 @@ def decoder_head_v2(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
 
     trans, kp3, gmax = pl.pallas_call(
         functools.partial(_kernel_with_bias, n=n, c=c, t_heads=t_heads,
-                          interpret=interpret),
+                          interpret=interpret, ablate=ablate),
         grid=grid,
         in_specs=[
             row_spec(c), row_spec(c),
@@ -110,11 +117,13 @@ def decoder_head_v2(d0: jax.Array, u0: jax.Array, wf: jax.Array, bf: jax.Array,
 def _kernel_with_bias(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref,
                       pos_h_ref, pos_w_ref, pos_smem_ref,
                       trans_ref, kp_ref, gmax_ref,
-                      cat_ring, u_ring, stats, *, n, c, t_heads, interpret):
+                      cat_ring, u_ring, stats, *, n, c, t_heads, interpret,
+                      ablate=""):
     """_kernel but the u-conv bias is applied before the lrelu (matching v1)."""
     t = pl.program_id(1)
     roll = jnp.roll if interpret else pltpu.roll
     np8 = cat_ring.shape[2]
+    taps = 1 if ablate == "tap1" else 3
 
     @pl.when(t == 0)
     def _init_stats():
@@ -124,47 +133,65 @@ def _kernel_with_bias(d0_ref, u0_ref, wf_ref, bf_ref, wt_ref, bt_ref,
     interior = jnp.concatenate([d0_ref[0, 0], u0_ref[0, 0]], axis=-1)
     _edge_pad_row(cat_ring, slot_in, interior, n)
 
-    @pl.when(jnp.logical_and(t >= 1, t <= n))
-    def _compute_u():
-        i = t - 1
-        part = jnp.zeros((n, np8, 3 * c), jnp.float32)
-        for dz in range(3):
-            slot = jax.lax.rem(jnp.maximum(i - 1 + dz, 0), 3)
-            for dy in range(3):
-                part = part + jax.lax.dot_general(
-                    cat_ring[slot, pl.ds(dy, n)], wf_ref[dz, dy],
+    if ablate != "dma":
+        @pl.when(jnp.logical_and(t >= 1, t <= n))
+        def _compute_u():
+            i = t - 1
+            part = jnp.zeros((n, np8, 3 * c), jnp.float32)
+            for dz in range(taps):
+                slot = jax.lax.rem(jnp.maximum(i - 1 + dz, 0), 3)
+                for dy in range(taps):
+                    part = part + jax.lax.dot_general(
+                        cat_ring[slot, pl.ds(dy, n)], wf_ref[dz, dy],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            acc = part[:, :, 0:c]
+            for dx in (1, 2):
+                acc = acc + roll(part[:, :, dx * c:(dx + 1) * c],
+                                 np8 - dx, axis=1)
+            # cast BEFORE lrelu: Conv3D applies act_fn(y.astype(bf16))
+            # (models/blocks.py:143) — the activation must see the rounded value
+            acc = (acc + bf_ref[0, :c]).astype(cat_ring.dtype)
+            u = lrelu_rounded(acc)
+            _edge_pad_row(u_ring, jax.lax.rem(i, 3), u[:, 0:n, :], n)
+
+            if ablate != "nostats":
+                stats_fold(stats, u[:, 0:n, :].astype(jnp.float32),
+                           pos_h_ref[0:n, :, :c], pos_w_ref[:, 0:n, :c],
+                           pos_smem_ref[0, jnp.minimum(i, n - 1)], c)
+
+    if ablate == "dma":
+        # row-stream floor: read both rows, write a zero trans row, no compute
+        @pl.when(t >= 2)
+        def _trans_zero():
+            trans_ref[0, 0] = jnp.zeros((n, n, t_heads), jnp.float32)
+        @pl.when(t == n + 1)
+        def _emit_dma():
+            stats_emit(stats, kp_ref, gmax_ref, c)
+        return
+
+    if ablate != "notrans":
+        @pl.when(t >= 2)
+        def _compute_trans():
+            z = t - 2
+            v = jnp.zeros((n + 2, np8, 9 * t_heads), jnp.float32)
+            for dz in range(taps):
+                slot = jax.lax.rem(jnp.clip(z - 1 + dz, 0, n - 1), 3)
+                v = v + jax.lax.dot_general(
+                    u_ring[slot], wt_ref[dz],
                     dimension_numbers=(((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-        acc = part[:, :, 0:c]
-        for dx in (1, 2):
-            acc = acc + roll(part[:, :, dx * c:(dx + 1) * c], np8 - dx, axis=1)
-        # cast BEFORE lrelu: Conv3D applies act_fn(y.astype(bf16))
-        # (models/blocks.py:143), so the activation must see the rounded value
-        acc = (acc + bf_ref[0, :c]).astype(cat_ring.dtype)
-        u = lrelu_rounded(acc)
-        _edge_pad_row(u_ring, jax.lax.rem(i, 3), u[:, 0:n, :], n)
-
-        stats_fold(stats, u[:, 0:n, :].astype(jnp.float32),
-                   pos_h_ref[0:n, :, :c], pos_w_ref[:, 0:n, :c],
-                   pos_smem_ref[0, jnp.minimum(i, n - 1)], c)
-
-    @pl.when(t >= 2)
-    def _compute_trans():
-        z = t - 2
-        v = jnp.zeros((n + 2, np8, 9 * t_heads), jnp.float32)
-        for dz in range(3):
-            slot = jax.lax.rem(jnp.clip(z - 1 + dz, 0, n - 1), 3)
-            v = v + jax.lax.dot_general(
-                u_ring[slot], wt_ref[dz],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        acc = jnp.zeros((n, np8, t_heads), jnp.float32)
-        for dx in range(3):
-            sh = v if dx == 0 else roll(v, np8 - dx, axis=1)
-            for dy in range(3):
-                g = (dy * 3 + dx) * t_heads
-                acc = acc + sh[dy:dy + n, :, g:g + t_heads]
-        trans_ref[0, 0] = acc[:, 0:n, :] + bt_ref[0, :t_heads]
+            acc = jnp.zeros((n, np8, t_heads), jnp.float32)
+            for dx in range(3):
+                sh = v if dx == 0 else roll(v, np8 - dx, axis=1)
+                for dy in range(3):
+                    g = (dy * 3 + dx) * t_heads
+                    acc = acc + sh[dy:dy + n, :, g:g + t_heads]
+            trans_ref[0, 0] = acc[:, 0:n, :] + bt_ref[0, :t_heads]
+    else:
+        @pl.when(t >= 2)
+        def _trans_zero():
+            trans_ref[0, 0] = jnp.zeros((n, n, t_heads), jnp.float32)
 
     @pl.when(t == n + 1)
     def _emit_stats():
