@@ -128,6 +128,30 @@ def test_step_contract_and_success():
     assert t.info["success"] and t.reward == 100.0 and t.terminal
 
 
+def test_target_object_pos_latched_per_episode():
+    """Every frame of an episode carries the SAME target_object_pos: the
+    reference computes it once per episode and caches it
+    (scene_two_robots.py:319 resets to None, :585 latches on first
+    observation). Tracking the moving object per frame instead poisons the
+    per-keyframe crop bounds — open_drawer's pull keyframe would be taught in
+    bounds recentered on the PULLED handle while eval crops once at episode
+    start (round-4 root cause of the 0%/8% open_drawer artifacts)."""
+    env = BimanualTaskEnvironment(HandOverItem, image_size=16,
+                                  episode_length=20, seed=3)
+    env.launch()
+    frames, _ = env.get_demo(0)
+    ref = frames[0].target_object_pos
+    assert all(np.array_equal(f.target_object_pos, ref) for f in frames)
+    # the cube actually moved during the demo — the latch is doing real work
+    assert np.linalg.norm(
+        env.backend.get_object("cube").position - ref) > 0.05
+    # eval-side crop hook returns the same latched value
+    assert np.allclose(env.target_object_world_coords(), ref)
+    # a new episode re-latches (different placement noise -> different pos)
+    env.reset_to_demo(1)
+    assert not np.allclose(env.target_object_world_coords(), ref)
+
+
 def test_out_of_workspace_action_rejected():
     env = BimanualTaskEnvironment(OpenDrawer, image_size=16)
     env.launch()
