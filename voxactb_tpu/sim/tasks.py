@@ -142,7 +142,15 @@ class OpenDrawer(BimanualTask):
 
 
 class PutItemInDrawer(BimanualTask):
-    """One arm opens the top drawer, the other drops the item in."""
+    """The ASSISTIVE arm opens the top drawer, the DOMINANT arm drops the item
+    in — the reference's role split (put_item_in_drawer.py:38-41: 'open the
+    top drawer with left hand and put the item in ... with right hand' when
+    dominant=right). The split also aligns demo time with the eval rollout's
+    assistive-first alternation (rollout_generator.py:233-244): the drawer
+    opening happens in the demo's first frames, exactly when the assistive
+    arm gets its turns — with the roles swapped the dominant arm trains on
+    inputs where the other arm is still at home and then never sees such a
+    state closed-loop (diagnosed round 4: replay exact-match 1.00 but 4% val)."""
 
     name = "put_item_in_drawer"
     num_variations = 2
@@ -177,8 +185,8 @@ class PutItemInDrawer(BimanualTask):
                               np.array([0.10, 0.12, 0.06])),
         ])
         d = self._dominant
-        return [f"open the top drawer with {d} hand and put the item in the top "
-                f"drawer with {_assistive(d)} hand"]
+        return [f"open the top drawer with {_assistive(d)} hand and put the "
+                f"item in the top drawer with {d} hand"]
 
     def target_object_name(self):
         return "top_handle"
@@ -194,15 +202,15 @@ class PutItemInDrawer(BimanualTask):
                                       - self._drawer_region[1]), 0.0])
         drop = self._drawer_region + [0, 0, 0.03]
         return [
-            Waypoint(d, handle.position + pull * 0.08, DOWN, 1.0,
+            Waypoint(a, handle.position + pull * 0.08, DOWN, 1.0,
                      label="approach_handle"),
-            Waypoint(d, handle.position, DOWN, 0.0, label="grasp_handle"),
-            Waypoint(d, handle.position + pull * 0.18, DOWN, 1.0, label="pull_open"),
-            Waypoint(a, item.position + [0, 0, 0.10], DOWN, 1.0,
+            Waypoint(a, handle.position, DOWN, 0.0, label="grasp_handle"),
+            Waypoint(a, handle.position + pull * 0.18, DOWN, 1.0, label="pull_open"),
+            Waypoint(d, item.position + [0, 0, 0.10], DOWN, 1.0,
                      label="approach_item"),
-            Waypoint(a, item.position, DOWN, 0.0, label="grasp_item"),
-            Waypoint(a, drop, DOWN, None, label="carry"),
-            Waypoint(a, drop, DOWN, 1.0, dwell=5, label="drop"),
+            Waypoint(d, item.position, DOWN, 0.0, label="grasp_item"),
+            Waypoint(d, drop, DOWN, None, label="carry"),
+            Waypoint(d, drop, DOWN, 1.0, dwell=5, label="drop"),
         ]
 
 
