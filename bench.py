@@ -48,6 +48,9 @@ PALLAS_DECODER_V2C = os.environ.get("BENCH_PALLAS_DECODER_V2C", "0") == "1"
 # plane-split width of the front kernel's serial scatter loop (8 breaks the
 # RMW dependency chain): default 8 from the A/B above.
 FRONT_UNROLL = int(os.environ.get("BENCH_FRONT_UNROLL", "8"))
+# one-hot MXU-matmul scatter in the front kernel (replaces the serial RMW
+# loop with a single f32 dot per grid row): default pending the on-chip A/B.
+FRONT_MATMUL = os.environ.get("BENCH_FRONT_MATMUL", "0") == "1"
 PALLAS_ENCODER = os.environ.get("BENCH_PALLAS_ENCODER", "1") == "1"
 # round-3 fully fused front (voxelize+preprocess+stats+patchify, one kernel)
 PALLAS_FRONT = os.environ.get("BENCH_PALLAS_FRONT", "1") == "1"
@@ -240,6 +243,7 @@ def build_dual_chain(n_steps: int = 32):
                        pallas_decoder_v3=PALLAS_DECODER_V3,
                        pallas_decoder_v2c=PALLAS_DECODER_V2C,
                        front_scatter_unroll=FRONT_UNROLL,
+                       front_scatter_matmul=FRONT_MATMUL,
                        pallas_encoder=PALLAS_ENCODER,
                        pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)
@@ -469,6 +473,7 @@ def main():
                            pallas_decoder_v3=PALLAS_DECODER_V3,
                        pallas_decoder_v2c=PALLAS_DECODER_V2C,
                        front_scatter_unroll=FRONT_UNROLL,
+                       front_scatter_matmul=FRONT_MATMUL,
                            pallas_encoder=PALLAS_ENCODER,
                            pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)
@@ -480,6 +485,7 @@ def main():
                            pallas_decoder_v3=PALLAS_DECODER_V3,
                        pallas_decoder_v2c=PALLAS_DECODER_V2C,
                        front_scatter_unroll=FRONT_UNROLL,
+                       front_scatter_matmul=FRONT_MATMUL,
                            pallas_encoder=PALLAS_ENCODER,
                            pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)
@@ -551,6 +557,7 @@ def main():
                            pallas_decoder_v3=PALLAS_DECODER_V3,
                        pallas_decoder_v2c=PALLAS_DECODER_V2C,
                        front_scatter_unroll=FRONT_UNROLL,
+                       front_scatter_matmul=FRONT_MATMUL,
                              pallas_encoder=PALLAS_ENCODER,
                              pallas_front=PALLAS_FRONT,
                        pallas_attention=PALLAS_ATTN)

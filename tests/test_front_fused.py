@@ -149,6 +149,25 @@ def test_front_fused_empty_and_crop_bounds(setup):
         assert np.isfinite(np.asarray(t, np.float32)).all()
 
 
+def test_front_fused_scatter_matmul_matches_serial(setup):
+    """One-hot MXU-matmul scatter must reproduce the serial schedule (exact
+    per-term products, f32 sums in a different order) — incl. the gated
+    occupancy count and the all-zero masked payload slots."""
+    from voxactb_tpu.ops.pallas.front_fused import front_fused
+
+    args = (jnp.asarray(setup["coords"]), jnp.asarray(setup["feats"]),
+            jnp.asarray(setup["bounds"]), jnp.asarray(setup["w1"]),
+            jnp.asarray(setup["b1"]), jnp.asarray(setup["wp"]))
+    out1 = front_fused(*args, voxel_size=setup["n"], row_cap=1024,
+                       interpret=True)
+    outm = front_fused(*args, voxel_size=setup["n"], row_cap=1024,
+                       interpret=True, scatter_matmul=True)
+    for a, b, name in zip(out1, outm, ("d0", "patch", "kp", "gmax")):
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32),
+            atol=2e-2, rtol=2e-2, err_msg=name)
+
+
 def test_front_fused_scatter_unroll_matches_serial(setup):
     """8-plane unrolled scatter must reproduce the serial schedule (same f32
     sums in a different order) — including the cnt-masked occupancy count."""

@@ -106,7 +106,8 @@ def fused_front_inputs(cfg: MethodConfig, params, coords, feats, bounds):
     d0, patch_pre, kp, gmax = front_fused(
         coords, feats, bounds, w1, b1, wp, voxel_size=cfg.voxel_size,
         interpret=cfg.pallas_interpret,
-        scatter_unroll=cfg.front_scatter_unroll)
+        scatter_unroll=cfg.front_scatter_unroll,
+        scatter_matmul=cfg.front_scatter_matmul)
     # bias + lrelu on the tiny patch grid, in Conv3D's f32-accumulate order
     ins = jax.nn.leaky_relu(
         (patch_pre + bp).astype(jnp.bfloat16), 0.02)

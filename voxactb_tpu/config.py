@@ -108,6 +108,8 @@ class MethodConfig:
     # kernel (TPU inference; subsumes pallas_encoder and skips the dense grid)
     front_scatter_unroll: int = 1   # plane-split width of the front kernel's
     # serial scatter loop (8 breaks the RMW dependency chain; A/B on chip)
+    front_scatter_matmul: bool = False  # one-hot MXU-matmul scatter in the
+    # front kernel (replaces the serial RMW loop entirely; A/B on chip)
     pallas_attention: bool = False  # flash attention in the perceiver trunk
     # (TPU inference, bf16): logits never materialize in HBM
     pallas_interpret: bool = False  # run pallas kernels interpreted (CPU tests)

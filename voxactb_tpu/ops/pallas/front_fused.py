@@ -105,16 +105,57 @@ def sort_points_by_row(coords, feats, coord_bounds, *, voxel_size: int,
 def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
             pos_smem_ref,
             d0_ref, patch_ref, kp_ref, gmax_ref,
-            accum, xyp, pacc, stats, *, n: int, c: int, interpret: bool,
-            scatter_unroll: int = 1):
+            accum, xyp, pacc, stats, *, n: int, c: int, np8: int,
+            interpret: bool, scatter_unroll: int = 1,
+            scatter_matmul: bool = False):
     bb = pl.program_id(0)
     t = pl.program_id(1)
     s = n // 5
-    np8 = accum.shape[-2]
 
     @pl.when(t == 0)
     def _init():
         stats_init(stats)
+
+    # lane masks: vals = row with lanes 6..7 replaced by [count, 0]. Built
+    # by select instead of jnp.concatenate — Mosaic cannot concat operands
+    # whose lane offsets differ ("result/input offset mismatch on non-concat
+    # dimension" for [1,6]+[1,1]+[1,1]), a mask-multiply keeps one layout.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    keep6 = (lane < 6).astype(jnp.float32)
+    unit6 = (lane == 6).astype(jnp.float32)
+
+    if scatter_matmul:
+        # 1m) one-hot MATMUL scatter: the serial RMW loop above is ~P/N
+        # dynamic 8-lane VMEM read-modify-writes per row (<1% VPU lane use);
+        # here the whole row scatter becomes ONE f32 MXU contraction.
+        #   acc[y, x*8+ch] = sum_r onehot_y[r, y] * (onehot_x[r, x] * vals[r, ch])
+        # Zero-masked payload slots (past this row's count) one-hot onto voxel
+        # (0, 0) but contribute exact zeros: every vals channel is 0 there,
+        # including the occupancy count, which is gated by the same mask the
+        # serial path applies (idx < cnt). Each product term is exact (0/1
+        # times an f32); only the f32 accumulation ORDER differs from the
+        # serial schedule — the same rounding class as the XLA scatter path.
+        blk = payload_ref[0, 0]                       # [R, 8] f32
+        rcap = blk.shape[0]
+        cnt = cnt_ref[bb, t]
+        validf = (jax.lax.broadcasted_iota(jnp.int32, (rcap, 1), 0)
+                  < cnt).astype(jnp.float32)
+        vals = blk * keep6 + unit6 * validf           # [R, 8]
+        iy = blk[:, 6:7].astype(jnp.int32)
+        ix = blk[:, 7:8].astype(jnp.int32)
+        oy = (jax.lax.broadcasted_iota(jnp.int32, (rcap, n), 1)
+              == iy).astype(jnp.float32)              # [R, n]
+        ox = (jax.lax.broadcasted_iota(jnp.int32, (rcap, np8), 1)
+              == ix).astype(jnp.float32)              # [R, np8]
+        w = (ox[:, :, None] * vals[:, None, :]).reshape(rcap, np8 * 8)
+        acc = jax.lax.dot_general(
+            oy, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(n, np8, 8)
+        _scatter_rest(acc, t, n, np8, c, s, interpret,
+                      w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
+                      pos_smem_ref, d0_ref, patch_ref, kp_ref, gmax_ref,
+                      xyp, pacc, stats)
+        return
 
     # 1) scatter of this row's points. With scatter_unroll > 1 the accumulator
     # carries that many independent planes and each fori_loop iteration posts
@@ -126,14 +167,6 @@ def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
     # schedule (within-f32-rounding of the XLA scatter path either way).
     accum[...] = jnp.zeros_like(accum)
     u = scatter_unroll
-
-    # lane masks: vals = row with lanes 6..7 replaced by [count, 0]. Built
-    # by select instead of jnp.concatenate — Mosaic cannot concat operands
-    # whose lane offsets differ ("result/input offset mismatch on non-concat
-    # dimension" for [1,6]+[1,1]+[1,1]), a mask-multiply keeps one layout.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-    keep6 = (lane < 6).astype(jnp.float32)
-    unit6 = (lane == 6).astype(jnp.float32)
 
     def scatter_body(i, _):
         if u == 1:
@@ -169,6 +202,18 @@ def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
     acc = accum[0, ...]
     for p in range(1, u):
         acc = acc + accum[p, ...]
+    _scatter_rest(acc, t, n, np8, c, s, interpret,
+                  w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
+                  pos_smem_ref, d0_ref, patch_ref, kp_ref, gmax_ref,
+                  xyp, pacc, stats)
+
+
+def _scatter_rest(acc, t, n, np8, c, s, interpret,
+                  w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
+                  pos_smem_ref, d0_ref, patch_ref, kp_ref, gmax_ref,
+                  xyp, pacc, stats):
+    """Steps 2-5 (grid-row assembly, d0, stats, patchify) shared by the serial
+    and matmul scatter schedules; ``acc`` is this row's [n, np8, 8] f32 sums."""
     count = acc[:, :, 6:7]
     mean6 = acc[:, :, 0:6] / jnp.maximum(count, 1.0)
     occ = (count > 0).astype(jnp.float32)
@@ -246,10 +291,11 @@ def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("voxel_size", "row_cap",
-                                             "interpret", "scatter_unroll"))
+                                             "interpret", "scatter_unroll",
+                                             "scatter_matmul"))
 def front_fused(coords, feats, coord_bounds, w1, b1, wp, *,
                 voxel_size: int, row_cap: int = 2048, interpret: bool = False,
-                scatter_unroll: int = 1):
+                scatter_unroll: int = 1, scatter_matmul: bool = False):
     """Fused voxelize + preprocess-conv + stats + patchify.
 
     Args:
@@ -292,8 +338,9 @@ def front_fused(coords, feats, coord_bounds, w1, b1, wp, *,
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     d0, patch, kp3, gmax = pl.pallas_call(
-        functools.partial(_kernel, n=n, c=c, interpret=interpret,
-                          scatter_unroll=scatter_unroll),
+        functools.partial(_kernel, n=n, c=c, np8=np8, interpret=interpret,
+                          scatter_unroll=scatter_unroll,
+                          scatter_matmul=scatter_matmul),
         grid=(b, n),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),             # row_count [B, N]
@@ -322,7 +369,10 @@ def front_fused(coords, feats, coord_bounds, w1, b1, wp, *,
             jax.ShapeDtypeStruct((b, 1, cdim), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((scatter_unroll, n, np8, 8), jnp.float32),  # scatter accum
+            # serial scatter accumulator; the matmul schedule produces its row
+            # sums straight out of the MXU dot and only needs a placeholder
+            pltpu.VMEM((1, 1, 1, 8) if scatter_matmul
+                       else (scatter_unroll, n, np8, 8), jnp.float32),
             pltpu.VMEM((n + 4, npad, c), dt),                  # edge-padded row
             pltpu.VMEM((s, np8, c), jnp.float32),              # patch slab accum
             pltpu.VMEM((5, cdim), jnp.float32),                # stats
