@@ -25,7 +25,7 @@ N = 100
 S = 20  # patch grid
 
 
-def main(batch: int = 1):
+def main(batch: int = 1, only=None):
     import jax
     import jax.numpy as jnp
 
@@ -244,6 +244,10 @@ def main(batch: int = 1):
             (pts, ptf),
             lambda xs: front_fused(xs[0], xs[1], vox_bounds, w1_ff, b1_ff,
                                    wp_ff, voxel_size=100, scatter_unroll=8)),
+        "front_fused_matmul@100": (
+            (pts, ptf),
+            lambda xs: front_fused(xs[0], xs[1], vox_bounds, w1_ff, b1_ff,
+                                   wp_ff, voxel_size=100, scatter_matmul=True)),
         "decoder_v2_tail@100": (
             (d0, d0),
             lambda xs: decoder_head_v2(xs[0], xs[1], kf_v2, bf_v2,
@@ -280,6 +284,8 @@ def main(batch: int = 1):
 
     results = {}
     for name, (inp, fn) in stages.items():
+        if only and not any(o in name for o in only):
+            continue
         def chained(xs, f=fn):
             def step(c, x):
                 y = f(x)
@@ -304,10 +310,14 @@ def main(batch: int = 1):
                           "compile_s": round(compile_s, 1)}), flush=True)
 
     print(json.dumps({"batch": batch, "all": results}))
+    return results
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="substring filter: run only stages whose name "
+                         "contains any of these")
     args = ap.parse_args()
-    main(batch=args.batch)
+    main(batch=args.batch, only=args.only)
