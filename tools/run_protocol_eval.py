@@ -46,8 +46,15 @@ TASKS = ["open_jar", "open_drawer", "put_item_in_drawer", "hand_over_item"]
 
 COMMON = [
     "rlbench.demo_path=sim",
-    'rlbench.cameras=["wrist","wrist2"]',
-    "rlbench.camera_resolution=[32,32]",
+    # front + both wrist cameras, like the reference's policy rig
+    # (observation_config_two_robots.py wrist/wrist2/front). Round-4
+    # diagnosis (tools/probe_replay_ambiguity.py): with the 32x32 wrist-only
+    # rig, crop-grid coverage had a median of 103 points (min 1) and
+    # successive keyframe inputs were indistinguishable (d_occ <= 2), so the
+    # replay itself was unlearnable — hand_over_item exact-match on its OWN
+    # replay capped at 55% trans / 94% grip and every rollout scored 0.
+    'rlbench.cameras=["front","wrist","wrist2"]',
+    "rlbench.camera_resolution=[64,64]",
     # 25 steps (the reference's episode_length): strict assistive/dominant
     # alternation skips turns once one arm's keyframes run out, so an episode
     # needs ~2x the longest arm's keyframe count in slots

@@ -103,15 +103,24 @@ class SceneRenderer:
     def camera_extrinsics(self, backend: SimBackend) -> Dict[str, np.ndarray]:
         exts = {}
         for cam in self.cameras:
+            # wrist cameras ride the gripper and LOOK AT the end-effector's
+            # action zone (a real wrist cam points at the fingers —
+            # scene_two_robots.py:57-62 mounts them on the Panda wrists), not
+            # at the workspace center: when the TCP is far from the center a
+            # center-facing camera misses the manipulation site entirely,
+            # which starved the VLM crop of points (median 103, min 1 points
+            # in bounds on the hand_over_item replay; probe_replay_ambiguity)
             if cam == "wrist":
                 tcp = backend.arm("right").tcp_position
-                eye = tcp + np.array([0.05, 0.05, 0.30])
+                eye = tcp + np.array([0.06, 0.06, 0.32])
+                target = tcp - np.array([0.0, 0.0, 0.05])
             elif cam == "wrist2":
                 tcp = backend.arm("left").tcp_position
-                eye = tcp + np.array([-0.05, 0.05, 0.30])
+                eye = tcp + np.array([-0.06, 0.06, 0.32])
+                target = tcp - np.array([0.0, 0.0, 0.05])
             else:  # 'front' and any extra static cameras
-                eye = self._front_eye
-            exts[cam] = look_at_extrinsics(eye, self.center)
+                eye, target = self._front_eye, self.center
+            exts[cam] = look_at_extrinsics(eye, target)
         return exts
 
     def _scene_points(self, backend: SimBackend):
@@ -150,9 +159,56 @@ class SceneRenderer:
             color = tuple(int(c * 255) for c in obj.color)
             cuboid(obj.position, np.maximum(obj.size / 2, 0.004), color, m=8)
         for arm_name in ARMS:
-            arm = backend.arm(arm_name)
-            cuboid(arm.tcp_position, np.full(3, 0.015), (40, 40, 220), m=4)
+            self._gripper_points(backend.arm(arm_name), arm_name, pts, cols)
         return np.concatenate(pts, 0), np.concatenate(cols, 0)
+
+    @staticmethod
+    def _gripper_points(arm, arm_name: str, pts, cols) -> None:
+        """Sample a realistic gripper body into the scene: palm + two fingers
+        whose separation tracks ``gripper_open`` + a forearm stub, color-coded
+        per arm. The reference's cameras see whole Panda grippers
+        (scene_two_robots.py camera rig over real meshes); round-3's 1.5 cm TCP
+        marker was so small that, at the protocol recipe's 32x32 wrist cameras,
+        successive keyframe observations differed by <=2 occupied voxels and
+        the replay became unlearnable (tools/probe_replay_ambiguity.py:
+        identical inputs with conflicting grip targets on hand_over_item).
+        Geometry built in the gripper frame (+z = approach axis, +x = finger
+        travel), then rotated by the TCP quaternion."""
+        w, x, y, z = (float(arm.tcp_quaternion[3]), float(arm.tcp_quaternion[0]),
+                      float(arm.tcp_quaternion[1]), float(arm.tcp_quaternion[2]))
+        rot = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+        color = (40, 40, 220) if arm_name == "right" else (220, 120, 40)
+        tcp = arm.tcp_position
+        sep = 0.008 + 0.032 * float(arm.gripper_open)  # finger half-separation
+        # (center_local, half_extent_local, samples/face)
+        parts = [
+            (np.array([0.0, 0.0, -0.055]), np.array([0.045, 0.018, 0.022]), 6),
+            (np.array([+sep, 0.0, -0.018]), np.array([0.006, 0.009, 0.026]), 4),
+            (np.array([-sep, 0.0, -0.018]), np.array([0.006, 0.009, 0.026]), 4),
+            (np.array([0.0, 0.0, -0.135]), np.array([0.026, 0.026, 0.055]), 6),
+        ]
+        for c_local, half, m in parts:
+            # rotate a local-frame cuboid: sample axis-aligned, then map
+            center = tcp + rot @ c_local
+            lin = np.linspace(-1.0, 1.0, m)
+            u, v = np.meshgrid(lin, lin, indexing="ij")
+            u, v = u.ravel(), v.ravel()
+            ones = np.ones_like(u)
+            faces = []
+            for axis, sign in ((0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)):
+                f = np.empty((u.size, 3))
+                f[:, axis] = sign * ones
+                f[:, (axis + 1) % 3] = u
+                f[:, (axis + 2) % 3] = v
+                faces.append(f * half)
+            local = np.concatenate(faces, 0)
+            pts.append(center + local @ rot.T)
+            cols.append(np.broadcast_to(
+                np.asarray(color, np.uint8), (local.shape[0], 3)))
 
     def render(self, backend: SimBackend, rng=None) -> Dict[str, np.ndarray]:
         from voxactb_tpu.data.rlbench_format import pointcloud_from_depth
