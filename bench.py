@@ -124,7 +124,7 @@ def build_chain(cfg, batch, params=None):
         rgb, pcd = obs
         coords = pcd.reshape(batch, -1, 3)
         feats = ((rgb / 255.0) * 2.0 - 1.0).reshape(batch, -1, 3)
-        out, _ = apply_with_front(cfg, model, params, coords, feats, bounds,
+        out, _, _ = apply_with_front(cfg, model, params, coords, feats, bounds,
                                   proprio, lang_goal, lang_tok)
         return carry, decode(out, bounds)
 
@@ -277,7 +277,7 @@ def build_dual_chain(n_steps: int = 32):
                                                    keepdims=False), stacked)
         coords = pcd.reshape(1, -1, 3)
         feats = ((rgb / 255.0) * 2.0 - 1.0).reshape(1, -1, 3)
-        out, _ = apply_with_front(cfg, model, params, coords, feats, bounds,
+        out, _, _ = apply_with_front(cfg, model, params, coords, feats, bounds,
                                   proprio, lang_goal, lang_tok)
         return (step + 1, bounds), decode(out, bounds)
 

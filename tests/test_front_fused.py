@@ -63,10 +63,11 @@ def test_sort_points_by_row_partitions(setup):
     from voxactb_tpu.ops.pallas.front_fused import sort_points_by_row
 
     n = setup["n"]
-    rows, count = sort_points_by_row(
+    rows, count, overflow = sort_points_by_row(
         jnp.asarray(setup["coords"]), jnp.asarray(setup["feats"]),
         jnp.asarray(setup["bounds"]), voxel_size=n, row_cap=1024)
     rows, count = np.asarray(rows), np.asarray(count)
+    assert (np.asarray(overflow) == 0).all()  # 1024 cap fits this cloud
     assert rows.shape[1] == n and count.shape == (2, n)
     # every slot beyond the count is zeroed; counted slots carry real points
     for bi in range(2):
@@ -81,11 +82,12 @@ def test_front_fused_matches_oracle(setup):
     from voxactb_tpu.ops.pallas.front_fused import front_fused
 
     d0_ref, patch_ref, kp_ref, gmax_ref = _oracle(setup)
-    d0, patch, kp, gmax = front_fused(
+    d0, patch, kp, gmax, overflow = front_fused(
         jnp.asarray(setup["coords"]), jnp.asarray(setup["feats"]),
         jnp.asarray(setup["bounds"]), jnp.asarray(setup["w1"]),
         jnp.asarray(setup["b1"]), jnp.asarray(setup["wp"]),
         voxel_size=setup["n"], row_cap=1024, interpret=True)
+    assert (np.asarray(overflow) == 0).all()
 
     np.testing.assert_allclose(np.asarray(d0, np.float32), d0_ref,
                                atol=2e-2, rtol=2e-2)
@@ -140,7 +142,7 @@ def test_front_fused_empty_and_crop_bounds(setup):
 
     coords = np.full((1, 256, 3), 99.0, np.float32)
     feats = np.zeros((1, 256, 3), np.float32)
-    d0, patch, kp, gmax = front_fused(
+    d0, patch, kp, gmax, _overflow = front_fused(
         jnp.asarray(coords), jnp.asarray(feats),
         jnp.asarray([[0., 0., 0., 1., 1., 1.]]), jnp.asarray(setup["w1"]),
         jnp.asarray(setup["b1"]), jnp.asarray(setup["wp"]),
@@ -184,3 +186,40 @@ def test_front_fused_scatter_unroll_matches_serial(setup):
         np.testing.assert_allclose(
             np.asarray(b, np.float32), np.asarray(a, np.float32),
             atol=2e-2, rtol=2e-2, err_msg=name)
+
+
+def test_front_fused_row_cap_overflow_detected(setup):
+    """A pathologically clustered cloud (every point in one grid-dim0 row —
+    the VLM-crop regime where all depth pixels land on one close object) must
+    be DETECTED via the overflow output, not silently dropped. The XLA scatter
+    keeps all points (voxel_grid.py:106-127); the fused kernel's row payload
+    is capped, so the guard is the parity signal."""
+    from voxactb_tpu.ops.pallas.front_fused import front_fused, sort_points_by_row
+
+    p = 512
+    rng = np.random.default_rng(11)
+    # all points inside ONE voxel row (x fixed mid-bounds), cap 64 -> 448 drop
+    coords = np.concatenate([
+        np.full((1, p, 1), 0.55, np.float32),
+        rng.uniform(0.0, 1.0, (1, p, 2)).astype(np.float32)], -1)
+    feats = rng.uniform(-1, 1, (1, p, 3)).astype(np.float32)
+    bounds = jnp.asarray([[0., 0., 0., 1., 1., 1.]])
+
+    _, counts, overflow = sort_points_by_row(
+        jnp.asarray(coords), jnp.asarray(feats), bounds, voxel_size=10,
+        row_cap=64)
+    assert int(np.asarray(overflow)[0]) == p - 64
+    assert int(np.asarray(counts).max()) == 64
+
+    *_, overflow2 = front_fused(
+        jnp.asarray(coords), jnp.asarray(feats), bounds,
+        jnp.asarray(setup["w1"]), jnp.asarray(setup["b1"]),
+        jnp.asarray(setup["wp"]), voxel_size=10, row_cap=64, interpret=True)
+    assert int(np.asarray(overflow2)[0]) == p - 64
+
+    # ... and a cap that FITS the cloud reports zero
+    *_, overflow3 = front_fused(
+        jnp.asarray(coords), jnp.asarray(feats), bounds,
+        jnp.asarray(setup["w1"]), jnp.asarray(setup["b1"]),
+        jnp.asarray(setup["wp"]), voxel_size=10, row_cap=512, interpret=True)
+    assert int(np.asarray(overflow3)[0]) == 0

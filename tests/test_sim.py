@@ -283,7 +283,7 @@ def test_pinhole_projection_consistency():
     obs = env.reset()
     jar = env.backend.get_object("jar")
     expected = tuple(int(c * 255) for c in jar.color)
-    hits = 0
+    hits, validated = 0, []
     for cam in ("front", "wrist", "wrist2"):
         K = obs[f"{cam}_camera_intrinsics"][0]
         E = obs[f"{cam}_camera_extrinsics"][0]
@@ -294,6 +294,7 @@ def test_pinhole_projection_consistency():
         v = int(K[1, 1] * rel[1] / rel[2] + K[1, 2])
         if not (0 <= u < 32 and 0 <= v < 32):
             continue
+        validated.append(cam)
         rgb = obs[f"{cam}_rgb"][0]
         # search the 3x3 neighborhood (rounding): the jar color must be there
         patch = rgb[max(0, v - 1):v + 2, max(0, u - 1):u + 2]
@@ -303,7 +304,24 @@ def test_pinhole_projection_consistency():
             pcd = obs[f"{cam}_point_cloud"][0]
             d = np.linalg.norm(pcd[v, u] - jar.position)
             assert d < np.linalg.norm(jar.size) + 0.25, d
+    # the front camera is static and frames the whole workspace: it must NEVER
+    # fall into the behind-camera/out-of-image skips above, or a projection
+    # regression in the static rig would pass silently
+    assert "front" in validated, "front camera skipped projection validation"
     assert hits >= 1, "no camera saw the jar at its projected position"
+    # ... and after moving a TCP next to the jar, that wrist camera (which
+    # tracks its own TCP) must also project the jar into view
+    env.backend.move_arm_towards("right", jar.position + [0.0, 0.0, 0.12],
+                                 [0.0, 1.0, 0.0, 0.0], max_step=10.0)
+    obs2 = env._observation_dict()
+    K = obs2["wrist_camera_intrinsics"][0]
+    E = obs2["wrist_camera_extrinsics"][0]
+    rel = (jar.position - E[:3, 3]) @ E[:3, :3]
+    assert rel[2] > 0, "wrist camera still behind the jar after moving the TCP"
+    u = int(K[0, 0] * rel[0] / rel[2] + K[0, 2])
+    v = int(K[1, 1] * rel[1] / rel[2] + K[1, 2])
+    assert 0 <= u < 32 and 0 <= v < 32, \
+        f"wrist camera misses the jar at its TCP ({u},{v})"
 
 
 def test_pcd_backprojection_matches_depth():

@@ -62,7 +62,7 @@ def main():
         def chained(coords, feats):
             def one(carry, obs):
                 co, fe = obs
-                d0, patch, kp, gmax = front_fused(
+                d0, patch, kp, gmax, _ovf = front_fused(
                     co, fe, bounds, w1, b1, wp, voxel_size=n,
                     scatter_unroll=1 if matmul else 8,
                     scatter_matmul=matmul)

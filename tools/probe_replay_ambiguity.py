@@ -68,6 +68,12 @@ def main():
         metas.append({
             "i": i,
             "trans": np.asarray(s["trans_action_indicies"]).tolist(),
+            # continuous world-frame target translation: comparable across
+            # samples even when their per-sample crop bounds differ (the
+            # voxel indices are crop-relative, so an index delta can be a
+            # bounds shift rather than a real target conflict)
+            "pose": np.asarray(s["gripper_pose"], np.float32)[:3].tolist(),
+            "res_m": float(res.max()),
             "grip": int(np.asarray(s["rot_grip_action_indicies"]).ravel()[3]),
             "time": float(prop[-2]) if prop.size >= 2 else None,
             "points_in_bounds": int(ok.sum()),
@@ -84,14 +90,19 @@ def main():
             d_prop = float(np.max(np.abs(sigs[i] - sigs[j])))
             if d_occ <= args.near and d_prop < 0.05:
                 near_total += 1
-                ti = np.asarray(metas[i]["trans"])
-                tj = np.asarray(metas[j]["trans"])
-                dt = int(np.abs(ti - tj).max())
+                # conflict = same inputs, targets > 1 voxel apart in WORLD
+                # meters (continuous gripper_pose, robust to per-sample crop
+                # bounds shifts) or opposite grip bits
+                pi = np.asarray(metas[i]["pose"])
+                pj = np.asarray(metas[j]["pose"])
+                d_m = float(np.linalg.norm(pi - pj))
+                res_m = max(metas[i]["res_m"], metas[j]["res_m"])
                 dg = metas[i]["grip"] != metas[j]["grip"]
-                if dt > 1 or dg:
+                if d_m > res_m or dg:
                     conflicts.append({
                         "i": i, "j": j, "d_occ": int(d_occ),
-                        "d_prop": round(d_prop, 4), "dt": dt,
+                        "d_prop": round(d_prop, 4),
+                        "d_target_cm": round(d_m * 100, 2),
                         "grip": f"{metas[i]['grip']}vs{metas[j]['grip']}",
                         "trans_i": metas[i]["trans"],
                         "trans_j": metas[j]["trans"],

@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--frames", type=int, default=1)
     ap.add_argument("--skip-blocks", action="store_true",
                     help="only the full-encoder A/B")
+    ap.add_argument("--stage", action="store_true",
+                    help="attribute the encoder's cost per stage (patch-embed /"
+                         " windowed blocks / global blocks / neck) by "
+                         "DIFFERENCING depth-truncated full-encoder runs — the"
+                         " per-block chains keep activations resident and miss"
+                         " the real HBM pressure; truncation keeps it")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +63,54 @@ def main():
 
     e = enc(False)
     params = jax.jit(e.init)(jax.random.key(0), img)
+
+    if args.stage:
+        # truncated FULL-encoder ladder under the production flags (fused
+        # global+windowed, the bench defaults). Blocks 0-6 are windowed,
+        # 7 is the first global (global_attn_indexes), so:
+        #   d0   = patch-embed + pos only
+        #   d7   = + 7 windowed blocks
+        #   d8   = + the first global block
+        #   d32nn= all 32 blocks, no neck
+        #   full = + neck
+        def enc_t(depth_limit, skip_neck=True):
+            return SamImageEncoder(
+                embed_dim=1280, depth=32, num_heads=16,
+                global_attn_indexes=(7, 15, 23, 31),
+                fused_global=True, fused_windowed=True,
+                depth_limit=depth_limit, skip_neck=skip_neck, dtype=bf)
+
+        ladder = {}
+        for name, d, skip in (("d0", 0, True), ("d7", 7, True),
+                              ("d8", 8, True), ("d32nn", -1, True),
+                              ("full", -1, False)):
+            f = jax.jit(enc_t(d, skip).apply)
+            ladder[name] = timed(f, params, img) * 1e3
+            print(json.dumps({"stage_run": name,
+                              "ms": round(ladder[name], 1)}), flush=True)
+
+        win_ms = ladder["d7"] - ladder["d0"]          # 7 windowed blocks
+        glob_ms = ladder["d8"] - ladder["d7"]         # 1 global block
+        stages = {
+            "patch_embed_ms": round(ladder["d0"], 1),
+            "windowed_28_ms": round(win_ms / 7 * 28, 1),
+            "global_4_ms": round(glob_ms * 4, 1),
+            "neck_ms": round(ladder["full"] - ladder["d32nn"], 1),
+            "full_ms": round(ladder["full"], 1),
+            "ladder_sum_ms": round(
+                ladder["d0"] + win_ms / 7 * 28 + glob_ms * 4
+                + ladder["full"] - ladder["d32nn"], 1),
+        }
+        # per-stage SOL on the relay (~66 GB/s, ~1.9 ms/op latency floor):
+        # each stage is weight-read + activation-stream bound (cost_model)
+        from cost_model import sam_encoder_cost, speed_of_light
+        cm = sam_encoder_cost()
+        stages["sol_full_ms_relay"] = round(
+            speed_of_light(cm, 60e12, 66e9)["sol_ms"], 1)
+        stages["sol_frac_relay"] = round(
+            stages["sol_full_ms_relay"] / max(stages["full_ms"], 1e-9), 3)
+        print(json.dumps({"stage_table": stages}))
+        return
 
     for name, fused, fused_win in (("False", False, False),
                                    ("True", True, False),

@@ -59,6 +59,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--bwd-split", action="store_true",
+                    help="attribute the backward's 3:1 cost over the forward "
+                         "(VERDICT r4 #6): time the vjp application ALONE "
+                         "(residuals precomputed) at transformer depths "
+                         "6/3/1 — the depth slope is the attention+mlp trunk "
+                         "bwd per layer; the depth->0 extrapolation is the "
+                         "conv front/decoder bwd floor")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +105,83 @@ def main():
         return ms, out
 
     results = {}
+
+    if args.bwd_split:
+        import optax
+
+        from voxactb_tpu.agents.qfunction import build_encoder
+
+        for depth in (6, 3, 1):
+            cfg = MethodConfig(**base, transformer_depth=depth)
+            model = build_encoder(cfg)
+            batch = {k: jnp.asarray(v)
+                     for k, v in make_batch(cfg, cameras, args.batch).items()}
+            n = cfg.voxel_size
+
+            def loss(p, k, model=model, batch=batch, n=n):
+                pcds = [batch[f"{c}_point_cloud"] for c in cameras]
+                rgbs = [normalize_rgb(batch[f"{c}_rgb"]) for c in cameras]
+                b = pcds[0].shape[0]
+                bounds = batch["target_object_scene_bounds"]
+                coords = jnp.concatenate(
+                    [pc.reshape(b, -1, 3) for pc in pcds], 1)
+                feats = jnp.concatenate([r.reshape(b, -1, 3) for r in rgbs], 1)
+                grid = voxelize(coords, feats, bounds, voxel_size=n)
+                out = model.apply(p, grid, batch["low_dim_state"],
+                                  batch["lang_goal_emb"],
+                                  batch["lang_token_embs"],
+                                  train=True, rngs={"dropout": k})
+                flat = out["trans"].reshape(b, -1).astype(jnp.float32)
+                lab = batch["trans_action_indicies"].astype(jnp.int32)
+                flat_label = (lab[:, 0] * n + lab[:, 1]) * n + lab[:, 2]
+                return jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        flat, flat_label))
+
+            params = jax.jit(model.init)(
+                jax.random.key(0),
+                jnp.zeros((args.batch, n, n, n, 10), jnp.float32),
+                batch["low_dim_state"], batch["lang_goal_emb"],
+                batch["lang_token_embs"])
+
+            def fwd_d(params, key, loss=loss):
+                def one(_, k):
+                    return 0, loss(params, k)
+                keys = jax.random.split(key, args.steps)
+                return jax.lax.scan(one, 0, keys)[1]
+
+            def bwd_d(params, key, loss=loss):
+                # residuals from ONE forward; the scan applies the vjp alone
+                # with a varying cotangent so XLA cannot CSE the iterations
+                _, vjp_fn = jax.vjp(lambda p: loss(p, jax.random.key(7)),
+                                    params)
+
+                def one(_, k):
+                    cot = 1.0 + 0.0 * jax.random.uniform(k)
+                    (g,) = vjp_fn(cot)
+                    return 0, sum(jnp.sum(v.astype(jnp.float32))
+                                  for v in jax.tree_util.tree_leaves(g))
+                keys = jax.random.split(key, args.steps)
+                return jax.lax.scan(one, 0, keys)[1]
+
+            ms_f, _ = timed(f"fwd_depth{depth}", fwd_d, params,
+                            jax.random.key(1), per=args.steps)
+            ms_b, _ = timed(f"bwd_depth{depth}", bwd_d, params,
+                            jax.random.key(2), per=args.steps)
+            results[f"fwd_depth{depth}"] = round(ms_f, 2)
+            # subtract the single forward amortized over the scan
+            results[f"bwd_depth{depth}"] = round(ms_b - ms_f / args.steps, 2)
+
+        d6, d3, d1 = (results["bwd_depth6"], results["bwd_depth3"],
+                      results["bwd_depth1"])
+        per_layer = (d6 - d1) / 5.0
+        results["bwd_attn_mlp_per_layer_ms"] = round(per_layer, 2)
+        results["bwd_trunk6_ms"] = round(per_layer * 6, 2)
+        results["bwd_conv_front_decoder_ms"] = round(d1 - per_layer, 2)
+        results["bwd_fwd_ratio_depth6"] = round(d6 / max(
+            results["fwd_depth6"], 1e-9), 2)
+        print(json.dumps({"bwd_split": results}))
+        return
 
     def chained_step(step_fn, n_steps):
         def chained(state, batch, key):

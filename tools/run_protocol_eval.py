@@ -143,7 +143,7 @@ def ckpt_file(seed_dir: str, step: int = None) -> str:
 
 def make_runner(task: str, acting_dir: str, stab_ckpt, episodes: int,
                 seed: int, csv_name: str = "eval_data.csv",
-                selection_csv: str = None):
+                selection_csv: str = None, crop_source: str = "gt"):
     from voxactb_tpu.agents.qattention_agent import QAttentionBCAgent
     from voxactb_tpu.config import Config
     from voxactb_tpu.runners.eval_runner import EvalRunner
@@ -151,10 +151,19 @@ def make_runner(task: str, acting_dir: str, stab_ckpt, episodes: int,
     from voxactb_tpu.sim.tasks import TASK_REGISTRY
 
     cfg = Config.load(os.path.join(acting_dir, "config.json"))
+    vlm = None
+    if crop_source == "vlm":
+        # pixels-derived crops: the reference's eval path runs the VLM on the
+        # rendered front camera once per episode (scene_two_robots.py:494,
+        # vlm.py:144-194); the detector here is the renderer-appropriate
+        # color segmenter (vlm/pipeline.py ColorDetector) — no ground-truth
+        # object position is consulted anywhere in the crop path
+        from voxactb_tpu.vlm.pipeline import VLM, ColorDetector
+        vlm = VLM(ColorDetector(task))
     env = BimanualTaskEnvironment(
         TASK_REGISTRY[task], cameras=cfg.rlbench.cameras,
         image_size=cfg.rlbench.camera_resolution[0],
-        episode_length=cfg.rlbench.episode_length, seed=seed)
+        episode_length=cfg.rlbench.episode_length, seed=seed, vlm=vlm)
     acting = QAttentionBCAgent(cfg.method, cfg.rlbench.cameras,
                                cfg.rlbench.scene_bounds)
     stab = QAttentionBCAgent(cfg.method, cfg.rlbench.cameras,
@@ -168,9 +177,10 @@ def make_runner(task: str, acting_dir: str, stab_ckpt, episodes: int,
 
 
 def run_eval(task: str, acting_dir: str, stab_ckpt: str, episodes: int,
-             seed: int, eval_type, csv_name: str, selection_csv: str = None):
+             seed: int, eval_type, csv_name: str, selection_csv: str = None,
+             crop_source: str = "gt"):
     runner = make_runner(task, acting_dir, stab_ckpt, episodes, seed,
-                         csv_name, selection_csv)
+                         csv_name, selection_csv, crop_source=crop_source)
     t0 = time.time()
     rows = runner.start(eval_type)
     print(f"[{task}] eval_type={eval_type} seed={seed} "
@@ -232,6 +242,12 @@ def main():
                          "stabilizing checkpoint with the best acting one")
     ap.add_argument("--quick", action="store_true",
                     help="calibration mode: 1 task, few iters/episodes")
+    ap.add_argument("--vlm-eval", action="store_true",
+                    help="re-evaluate EXISTING protocol artifacts with "
+                         "pixels-derived VLM crops (ColorDetector on the "
+                         "rendered front camera) instead of ground-truth "
+                         "object positions, and record the success-rate "
+                         "delta under <task>_vlmcrop in summary.json")
     args = ap.parse_args()
     COMMON.extend(args.extra)
     if args.quick:
@@ -246,6 +262,47 @@ def main():
     if os.path.exists(summary_path):
         with open(summary_path) as f:
             summary = json.load(f)
+
+    if args.vlm_eval:
+        from voxactb_tpu.runners.eval_runner import select_checkpoints
+
+        for task in args.tasks:
+            if task not in summary:
+                print(f"[{task}] no protocol artifact in summary.json — "
+                      "run the protocol first", flush=True)
+                continue
+            acting_dir = summary[task]["acting_dir"]
+            stab_dir = acting_dir.replace("train_dominant", "train_assistive")
+            best_left = (summary[task].get("stab_sweep") or {}).get(
+                "best_left_step")
+            stab_ckpt = ckpt_file(stab_dir, best_left)
+            rows_val = run_eval(task, acting_dir, stab_ckpt, args.episodes,
+                                args.val_seed, "best", "eval_data_vlm.csv",
+                                selection_csv="eval_data.csv",
+                                crop_source="vlm")
+            rows_test = run_eval(task, acting_dir, stab_ckpt, args.episodes,
+                                 args.test_seed, "best", "test_data_vlm.csv",
+                                 selection_csv="eval_data.csv",
+                                 crop_source="vlm")
+            summary[f"{task}_vlmcrop"] = {
+                "crop_source": "vlm",
+                "detector": "ColorDetector(front-camera pixels)",
+                "val": [{"step": r["step"],
+                         "return": float(r["eval_envs/return"])}
+                        for r in rows_val],
+                "test": [{"step": r["step"],
+                          "return": float(r["eval_envs/return"])}
+                         for r in rows_test],
+                "gt_val": summary[task]["val"],
+                "gt_test": summary[task]["test"],
+                "acting_dir": acting_dir,
+            }
+            with open(summary_path, "w") as f:
+                json.dump(summary, f, indent=1)
+        print(json.dumps({k: v for k, v in summary.items()
+                          if k.endswith("_vlmcrop")}, indent=1))
+        return
+
     for task in args.tasks:
         root = os.path.join(args.out, task)
         os.makedirs(root, exist_ok=True)

@@ -234,6 +234,10 @@ class QAttentionBCAgent(Agent):
             "voxel_grid_depth0": out.voxel_grid,
             "q_depth0": out.q_trans,
             "voxel_idx_depth0": trans_idx,
+            # points the fused front kernel dropped past its row capacity
+            # (0 on the XLA path / ordinary clouds; nonzero = the voxel grid
+            # diverged from reference scatter semantics, voxel_grid.py:106-127)
+            "front_overflow": int(np.asarray(out.front_overflow).sum()),
         }
 
         if is_real_robot:

@@ -95,7 +95,10 @@ def front_eligible(cfg: MethodConfig) -> bool:
 def fused_front_inputs(cfg: MethodConfig, params, coords, feats, bounds):
     """Run the fused front kernel (ops/pallas/front_fused.py) with the model's own
     preprocess/patchify weights; returns the ``front`` tuple for
-    ``PerceiverVoxelLangEncoder.__call__`` — (d0, patch_tokens, kp0, gmax0)."""
+    ``PerceiverVoxelLangEncoder.__call__`` — (d0, patch_tokens, kp0, gmax0) —
+    plus the kernel's per-sample row_cap overflow count ([B] int32, 0 unless a
+    pathologically clustered cloud dropped points the XLA scatter would keep,
+    voxel_grid.py:106-127)."""
     from voxactb_tpu.ops.pallas.front_fused import front_fused
 
     p = params["params"]
@@ -103,7 +106,7 @@ def fused_front_inputs(cfg: MethodConfig, params, coords, feats, bounds):
     b1 = p["input_preprocess"]["bias"]
     wp = p["patchify"]["kernel"]
     bp = p["patchify"]["bias"]
-    d0, patch_pre, kp, gmax = front_fused(
+    d0, patch_pre, kp, gmax, overflow = front_fused(
         coords, feats, bounds, w1, b1, wp, voxel_size=cfg.voxel_size,
         interpret=cfg.pallas_interpret,
         scatter_unroll=cfg.front_scatter_unroll,
@@ -111,7 +114,7 @@ def fused_front_inputs(cfg: MethodConfig, params, coords, feats, bounds):
     # bias + lrelu on the tiny patch grid, in Conv3D's f32-accumulate order
     ins = jax.nn.leaky_relu(
         (patch_pre + bp).astype(jnp.bfloat16), 0.02)
-    return d0, ins, kp, gmax
+    return (d0, ins, kp, gmax), overflow
 
 
 def apply_with_front(cfg: MethodConfig, model, params, coords, feats, bounds,
@@ -126,7 +129,7 @@ def apply_with_front(cfg: MethodConfig, model, params, coords, feats, bounds,
     """
     b = coords.shape[0]
     if front_eligible(cfg):
-        front = fused_front_inputs(cfg, params, coords, feats, bounds)
+        front, overflow = fused_front_inputs(cfg, params, coords, feats, bounds)
         grid = jnp.zeros((b, 1, 1, 1, 10), jnp.float32)
         out = model.apply(params, grid, proprio, lang_goal_emb,
                           lang_token_embs, front=front)
@@ -134,7 +137,8 @@ def apply_with_front(cfg: MethodConfig, model, params, coords, feats, bounds,
         grid = voxelize(coords, feats, bounds, voxel_size=cfg.voxel_size)
         out = model.apply(params, grid, proprio, lang_goal_emb,
                           lang_token_embs)
-    return out, grid
+        overflow = jnp.zeros((b,), jnp.int32)  # XLA scatter keeps all points
+    return out, grid, overflow
 
 
 def _flat_argmax_3d(q_trans: jax.Array) -> jax.Array:
@@ -165,6 +169,8 @@ class InferOutput(NamedTuple):
     continuous_action: jax.Array     # [B, 9] = xyz + quat(xyzw) + grip + collision
     q_trans: jax.Array               # [B, N, N, N] softmaxed Q for viz/summaries
     voxel_grid: jax.Array            # [B, N, N, N, 10]
+    front_overflow: jax.Array        # [B] int32: points the fused front kernel
+    #                                  dropped past row_cap (0 on the XLA path)
 
 
 def make_infer_fn(cfg: MethodConfig, low_dim_size: Optional[int] = None):
@@ -185,8 +191,9 @@ def make_infer_fn(cfg: MethodConfig, low_dim_size: Optional[int] = None):
         bounds = jnp.broadcast_to(jnp.asarray(bounds, jnp.float32), (b, 6))
         coords, feats = flatten_camera_observations(
             [normalize_rgb(r) for r in rgbs], pcds)
-        out, grid = apply_with_front(cfg, model, params, coords, feats, bounds,
-                                     proprio, lang_goal_emb, lang_token_embs)
+        out, grid, overflow = apply_with_front(
+            cfg, model, params, coords, feats, bounds,
+            proprio, lang_goal_emb, lang_token_embs)
 
         def decode(trans, rot_grip, collision):
             t_idx = _flat_argmax_3d(trans)
@@ -209,10 +216,11 @@ def make_infer_fn(cfg: MethodConfig, low_dim_size: Optional[int] = None):
                 for s in ("right", "left")
             ]
             stacked = [jnp.stack(field) for field in zip(*parts)]
-            return InferOutput(*stacked, voxel_grid=grid)
+            return InferOutput(*stacked, voxel_grid=grid,
+                               front_overflow=overflow)
 
         return InferOutput(*decode(out["trans"], out["rot_grip"], out["collision"]),
-                           voxel_grid=grid)
+                           voxel_grid=grid, front_overflow=overflow)
 
     return model, infer
 

@@ -194,6 +194,12 @@ class SamImageEncoder(nn.Module):
     # the on-chip A/B (tools/profile_sam.py)
     fused_windowed: bool = False
     fused_interpret: bool = False
+    # profiling hooks (tools/profile_sam.py --stage): run only the first
+    # ``depth_limit`` blocks / skip the neck, so stage costs can be attributed
+    # by DIFFERENCES of full-encoder runs (per-block chains keep activations
+    # resident and miss the real HBM pressure). -1 = full depth.
+    depth_limit: int = -1
+    skip_neck: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -206,7 +212,8 @@ class SamImageEncoder(nn.Module):
                          (1, g, g, self.embed_dim))
         x = x + pos.astype(self.dtype)
 
-        for i in range(self.depth):
+        run_depth = self.depth if self.depth_limit < 0 else self.depth_limit
+        for i in range(run_depth):
             x = SamBlock(
                 self.embed_dim, self.num_heads,
                 window_size=0 if i in self.global_attn_indexes else self.window_size,
@@ -216,6 +223,8 @@ class SamImageEncoder(nn.Module):
                 dtype=self.dtype, name=f"block_{i}",
             )(x)
 
+        if self.skip_neck:
+            return x.astype(jnp.float32)
         # neck: 1x1 conv -> LN -> 3x3 conv -> LN, to 256 channels
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
                     name="neck_conv1")(x)

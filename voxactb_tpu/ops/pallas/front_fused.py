@@ -55,8 +55,13 @@ def sort_points_by_row(coords, feats, coord_bounds, *, voxel_size: int,
     """Bin points to interior grid-dim0 rows; sort; gather per-row padded payload.
 
     Returns (payload [B, N, R, 8] f32: x,y,z | rgb | dim1-idx, dim2-idx;
-             row_count [B, N] int32). Out-of-bounds points (the border voxels the
-    reference crops away) sort behind a sentinel row and never enter the payload.
+             row_count [B, N] int32;
+             overflow [B] int32 — points DROPPED because their row exceeded the
+             R capacity; the XLA scatter keeps every point (voxel_grid.py:
+             106-127), so a nonzero overflow means the kernel's grid diverges
+             from the reference semantics and the caller must surface it).
+    Out-of-bounds points (the border voxels the reference crops away) sort
+    behind a sentinel row and never enter the payload.
     """
     b, p, _ = coords.shape
     n = voxel_size
@@ -89,7 +94,9 @@ def sort_points_by_row(coords, feats, coord_bounds, *, voxel_size: int,
 
     row_start = jax.vmap(
         lambda k: jnp.searchsorted(k, jnp.arange(n + 1), side="left"))(skey)
-    row_count = jnp.minimum(jnp.diff(row_start), r).astype(jnp.int32)
+    row_fill = jnp.diff(row_start)
+    row_count = jnp.minimum(row_fill, r).astype(jnp.int32)
+    overflow = jnp.maximum(row_fill - r, 0).sum(axis=1).astype(jnp.int32)
 
     # slot (row, j) <- sorted point row_start[row] + j (gather; masked past count)
     slot_row = jnp.arange(n)[:, None]
@@ -99,7 +106,7 @@ def sort_points_by_row(coords, feats, coord_bounds, *, voxel_size: int,
     src = jnp.clip(src, 0, p - 1).reshape(b, n * r)
     rows = jnp.take_along_axis(payload, src[..., None], axis=1)
     rows = jnp.where(valid.reshape(b, n * r, 1), rows, 0.0)
-    return rows.reshape(b, n, r, 8), row_count
+    return rows.reshape(b, n, r, 8), row_count, overflow
 
 
 def _kernel(cnt_ref, payload_ref, w1_ref, b1_ref, wp_ref, pos_h_ref, pos_w_ref,
@@ -305,7 +312,10 @@ def front_fused(coords, feats, coord_bounds, w1, b1, wp, *,
       wp: [5, 5, 5, C, C] patchify kernel (dim0, dim1, dim2 taps).
 
     Returns (d0 [B,N,N,N,C] bf16, patch_pre [B,s,s,s,C] f32 — PRE-activation;
-    the caller adds the patchify bias + lrelu — kp [B, C*3] f32, gmax [B, C] f32).
+    the caller adds the patchify bias + lrelu — kp [B, C*3] f32, gmax [B, C] f32,
+    overflow [B] int32 — points dropped past row_cap; 0 everywhere on ordinary
+    clouds, nonzero when a pathologically clustered cloud exceeds a row's
+    capacity, in which case the grid diverges from the XLA/reference scatter).
     """
     assert row_cap % scatter_unroll == 0, "row_cap must divide by the unroll"
     b, p, _ = coords.shape
@@ -316,7 +326,7 @@ def front_fused(coords, feats, coord_bounds, w1, b1, wp, *,
     np8 = -(-n // 8) * 8
     npad = -(-(n + 4) // 8) * 8
 
-    payload, row_count = sort_points_by_row(
+    payload, row_count, overflow = sort_points_by_row(
         coords, feats, coord_bounds, voxel_size=n, row_cap=row_cap)
 
     w1p = jnp.zeros((16, c), jnp.bfloat16).at[0:10, :].set(
@@ -384,4 +394,4 @@ def front_fused(coords, feats, coord_bounds, w1, b1, wp, *,
       pos_smem)
 
     kp = jnp.transpose(kp3[:, :, :c], (0, 2, 1)).reshape(b, c * 3)
-    return d0, patch, kp, gmax[:, 0, :c]
+    return d0, patch, kp, gmax[:, 0, :c], overflow

@@ -87,9 +87,15 @@ class SceneRenderer:
     FAR = 4.0           # background depth (m)
     BG_COLOR = (110, 110, 110)
 
-    def __init__(self, cameras: Sequence[str], image_size: int, workspace):
+    def __init__(self, cameras: Sequence[str], image_size: int, workspace,
+                 front_offset=(0.0, -1.0, 0.55)):
         self.cameras = tuple(cameras)
         self.img = int(image_size)
+        # surface-sample density per object face scales with resolution so a
+        # high-res rig (the reference's add_highres_front_cam_for_llm,
+        # environments_two_robots.py:159) renders solid surfaces instead of
+        # sparse point splats
+        self._obj_m = max(8, self.img // 8)
         self.ws = np.asarray(workspace, np.float64)
         self.center = (self.ws[:3] + self.ws[3:]) / 2.0
         f = float(self.img)  # ~53 deg horizontal FOV
@@ -97,7 +103,7 @@ class SceneRenderer:
             [[f, 0.0, self.img / 2.0], [0.0, f, self.img / 2.0], [0.0, 0.0, 1.0]])
         extent = float(np.max(self.ws[3:] - self.ws[:3]))
         # far enough back that the full workspace fits in the FOV
-        off = np.array([0.0, -1.0, 0.55])
+        off = np.asarray(front_offset, np.float64)
         self._front_eye = self.center + off / np.linalg.norm(off) * (1.3 * extent)
 
     def camera_extrinsics(self, backend: SimBackend) -> Dict[str, np.ndarray]:
@@ -157,7 +163,8 @@ class SceneRenderer:
         for name in backend.object_names():
             obj = backend.get_object(name)
             color = tuple(int(c * 255) for c in obj.color)
-            cuboid(obj.position, np.maximum(obj.size / 2, 0.004), color, m=8)
+            cuboid(obj.position, np.maximum(obj.size / 2, 0.004), color,
+                   m=self._obj_m)
         for arm_name in ARMS:
             self._gripper_points(backend.arm(arm_name), arm_name, pts, cols)
         return np.concatenate(pts, 0), np.concatenate(cols, 0)
@@ -305,7 +312,8 @@ class BimanualTaskEnvironment(BimanualEnv):
     def __init__(self, task_cls, backend: Optional[SimBackend] = None,
                  cameras=("wrist", "wrist2"), image_size: int = 32,
                  episode_length: int = 25, seed: int = 0,
-                 max_tick_per_action: int = 40, lang_encoder=None):
+                 max_tick_per_action: int = 40, lang_encoder=None,
+                 vlm=None):
         self.backend = backend or KinematicBackend(seed)
         self.task: BimanualTask = task_cls(self.backend)
         self.task.init_task()
@@ -322,6 +330,14 @@ class BimanualTaskEnvironment(BimanualEnv):
         self._launched = False
         self._episode_target_pos = None
         self._episode_auto_radius = None
+        # optional VLM: when set, target_object_world_coords() derives the
+        # crop point from the RENDERED front camera through this pipeline
+        # (scene_two_robots.py:494 get_observation_vlm -> vlm.py:144-194)
+        # instead of the backend's ground-truth object position
+        self._vlm = vlm
+        self._vlm_renderer = None  # built lazily at VLM_CAMERA_RES
+        self._episode_vlm_target = None
+        self._episode_vlm_radius = None
 
     # -- lifecycle ----------------------------------------------------------------------
 
@@ -339,6 +355,11 @@ class BimanualTaskEnvironment(BimanualEnv):
     #: (scene_two_robots.py's "attempts < self._MAX_RESET_ATTEMPTS" pattern)
     MAX_RESET_ATTEMPTS = 10
 
+    #: resolution of the dedicated VLM front camera (the reference's
+    #: add_highres_front_cam_for_llm boots a separate high-res front camera
+    #: just for the VLM, environments_two_robots.py:159)
+    VLM_CAMERA_RES = 256
+
     def reset(self) -> Dict:
         self._step_count = 0
         # the VLM-tagged object position is computed ONCE per episode and
@@ -354,6 +375,8 @@ class BimanualTaskEnvironment(BimanualEnv):
         # distance, sign flipping with episode orientation).
         self._episode_target_pos = None
         self._episode_auto_radius = None
+        self._episode_vlm_target = None
+        self._episode_vlm_radius = None
         self.backend.reset_arms()
         last_err = None
         for _ in range(self.MAX_RESET_ATTEMPTS):
@@ -524,6 +547,32 @@ class BimanualTaskEnvironment(BimanualEnv):
         name = self.task.target_object_name()
         if name is None:
             return None
+        if self._vlm is not None:
+            # pixels-derived crop point, computed ONCE per episode from a
+            # DEDICATED high-res front render (the reference boots an extra
+            # high-res front camera just for the VLM —
+            # environments_two_robots.py:159 add_highres_front_cam_for_llm —
+            # and runs the crop from it, scene_two_robots.py:494 +
+            # rollout_generator.py:213-216). The detector's perception error
+            # (resolution, occlusion, surface-vs-center centroid bias)
+            # propagates into the policy eval; no ground truth is consulted.
+            if self._episode_vlm_target is None:
+                if self._vlm_renderer is None:
+                    # steeper viewpoint than the policy's front camera: the
+                    # drawer handles hang on the cabinet's +-y sides, and at
+                    # the policy camera's 29-degree depression the far-side
+                    # handle is fully occluded by the cabinet body
+                    self._vlm_renderer = SceneRenderer(
+                        ("front",), self.VLM_CAMERA_RES,
+                        self.backend.workspace,
+                        front_offset=(0.0, -0.7, 1.0))
+                cams = self._vlm_renderer.render(self.backend)
+                point, radius = self._vlm.get_target_object_world_coords(
+                    cams["front_rgb"], cams["front_point_cloud"],
+                    self.task.name)
+                self._episode_vlm_target = np.asarray(point, np.float32)
+                self._episode_vlm_radius = float(radius)
+            return self._episode_vlm_target.copy()
         if self._episode_target_pos is not None:
             # the episode-latched position (see reset()) — the same value every
             # stored frame carries, so eval-time crop bounds match training's
@@ -534,6 +583,9 @@ class BimanualTaskEnvironment(BimanualEnv):
         name = self.task.target_object_name()
         if name is None:
             return 0.0
+        if self._vlm is not None and self._episode_vlm_radius is not None:
+            # measured from the detected mask's extents (vlm.py:182-192)
+            return self._episode_vlm_radius
         if self._episode_auto_radius is not None:
             return self._episode_auto_radius
         return float(self.backend.get_object(name).size.max() / 2 + 0.05)

@@ -248,31 +248,37 @@ class HandOverItem(BimanualTask):
         cube = self.backend.get_object("cube")
         d = dominant_arm
         a = _assistive(d)
-        # meet above the cube's spawn (nudged toward the table center) so the
-        # whole exchange stays inside the episode's VLM crop of radius 0.3;
-        # the receiver takes the cube from 5 cm ABOVE the giver's TCP — inside
-        # the grasp cone but outside ARM_MIN_SEPARATION
-        meet = np.array([cube.position[0],
-                         cube.position[1] - np.sign(cube.position[1]) * 0.05,
-                         TABLE_Z + 0.25])
-        # The giver's release happens 1 cm above the presentation pose and the
-        # giver then withdraws sideways; the receiver descends in stages. Both
-        # choices are how a careful human handover demo looks, and both matter
-        # to the learning pipeline: (a) the 1 cm offset makes the release
-        # gripper-flip land on a MOVED pose, so the no-duplicate keyframe
-        # scanner (demo_loading_utils.py:274-289 skips stationary frames) still
-        # emits it; (b) the staged descent gives the receiver enough keyframes
-        # that, under the eval rollout's strict assistive/dominant alternation
-        # (rollout_generator.py:233-244), 'receive' executes only after
-        # 'present' and 'release' have had their turns.
-        withdraw = meet + np.array([0.0, np.sign(cube.position[1]) * 0.12, 0.0])
+        # Meet point DIRECTLY above the cube's spawn. Every keyframe below is a
+        # fixed offset of the crop center (the VLM crop latches onto the cube's
+        # start position), mirroring the reference where all handover waypoints
+        # are fixed offsets of the task's workspace dummy (hand_over_item.py:
+        # 40-58) — deterministic in crop frame. Round-4's variant nudged the
+        # meet point by -sign(cube.y)*0.05, which made the target FLIP with the
+        # episode variation while the crop-centered voxel grids of the two
+        # variations look identical; the CE loss averaged the two answers
+        # (probe_replay_accuracy: trans_exact 0.30, repeated |dt|=9 = the
+        # 2*0.05/res mirror distance; trans_loss plateau at ~log 2). The
+        # exchange height is also kept low enough that the whole keyframe stack
+        # stays INSIDE the crop's z-range (cube_z + 0.3 = 1.08): the round-4
+        # reach/descend keyframes at z=1.15/1.11 clamped onto the crop's top
+        # voxel plane, collapsing the receiver's stage separation (live probe:
+        # arm pinned at zmax - res/2).
+        meet = np.array([cube.position[0], cube.position[1], TABLE_Z + 0.16])
+        # The giver's release happens 1 cm above the presentation pose (so the
+        # no-duplicate keyframe scanner, demo_loading_utils.py:274-289, still
+        # emits the gripper flip on a moved pose) and the giver then withdraws
+        # in the FIXED -x direction (variation-independent). The receiver
+        # descends in stages so that, under the eval rollout's strict
+        # assistive/dominant alternation (rollout_generator.py:233-244),
+        # 'receive' executes only after 'present' and 'release' had their turns.
+        withdraw = meet + np.array([-0.12, 0.0, 0.0])
         return [
             Waypoint(a, cube.position + [0, 0, 0.10], DOWN, 1.0, label="approach"),
             Waypoint(a, cube.position, DOWN, 0.0, label="grasp"),
             Waypoint(a, meet, DOWN, None, label="present"),
-            Waypoint(d, meet + [0, 0, 0.14], DOWN, 1.0, label="reach"),
-            Waypoint(d, meet + [0, 0, 0.10], DOWN, 1.0, label="descend"),
-            Waypoint(d, meet + [0, 0, 0.07], DOWN, 1.0, label="align"),
+            Waypoint(d, meet + [0, 0, 0.12], DOWN, 1.0, label="reach"),
+            Waypoint(d, meet + [0, 0, 0.08], DOWN, 1.0, label="descend"),
+            Waypoint(d, meet + [0, 0, 0.06], DOWN, 1.0, label="align"),
             Waypoint(a, meet + [0, 0, 0.01], DOWN, 1.0, label="release"),
             Waypoint(d, meet + [0, 0, 0.05], DOWN, 0.0, label="receive"),
             Waypoint(a, withdraw, DOWN, None, label="withdraw"),

@@ -216,6 +216,53 @@ class JaxOwlVitSamDetector:
         return self._sam.segment_box(rgb, box)
 
 
+_BASE = {
+    "open_jar": (0.9, 0.1, 0.1),              # jar body (tasks.py OpenJar)
+    "open_drawer": (0.8, 0.8, 0.2),           # bottom_handle
+    "put_item_in_drawer": (0.8, 0.8, 0.2),    # top_handle
+    "hand_over_item": (0.9, 0.2, 0.9),        # cube
+}
+# nominal object colors per task (sim/tasks.py scene definitions), uint8
+TASK_COLORS: Dict[str, np.ndarray] = {
+    k: np.array([int(c * 255) for c in v], np.float32)
+    for k, v in _BASE.items()
+}
+
+
+class ColorDetector:
+    """Pixels-only detector for the renderer's output: segments the task
+    object by color distance in the front-camera RGB.
+
+    This is the detector-agnostic slot the reference fills with OWL-ViT+SAM
+    (vlm.py:77-143); on the kinematic renderer (flat-shaded colors) a color
+    threshold is the equivalent localization signal, and CRUCIALLY the crop
+    point still comes from the rendered pixels + depth-derived cloud — so
+    perception error (resolution, occlusion, projection, surface-vs-center
+    centroid bias) propagates into the policy evaluation exactly as a learned
+    detector's would. No ground-truth object position is consulted.
+    """
+
+    def __init__(self, task_name: str, tol: float = 40.0):
+        if task_name not in TASK_COLORS:
+            raise KeyError(f"no nominal color for task {task_name!r}")
+        self._color = TASK_COLORS[task_name]
+        self._tol = float(tol)
+
+    def __call__(self, rgb: np.ndarray, query: str) -> np.ndarray:
+        rgb = np.asarray(rgb, np.float32)
+        if rgb.max() <= 1.0 + 1e-6:   # [-1,1]/[0,1] normalized frames
+            rgb = (rgb + 1.0) / 2.0 * 255.0 if rgb.min() < 0 else rgb * 255.0
+        d = np.linalg.norm(rgb - self._color, axis=-1)
+        mask = d < self._tol
+        if not mask.any():
+            # a fully occluded object still yields a BEST GUESS, like OWL-ViT
+            # returning its highest-scoring box regardless of confidence
+            # (vlm.py:100-107 argmax over scores) — the guess's error is real
+            # perception error and propagates into the eval
+            mask = d <= d.min()
+        return mask
+
+
 class MaskLocalizer:
     """Detector backed by ground-truth segmentation masks (sim provides them)."""
 
