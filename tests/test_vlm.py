@@ -96,3 +96,44 @@ def test_owlvit_detector_gates_cleanly():
     det = OwlVitSamDetector(owlvit_path="/nonexistent", sam_path="/nonexistent")
     with pytest.raises(RuntimeError, match="locally available"):
         det(np.zeros((8, 8, 3), np.uint8), "jar")
+
+
+def test_color_detector_segments_and_best_guesses(rng):
+    from voxactb_tpu.vlm.pipeline import TASK_COLORS, ColorDetector
+
+    det = ColorDetector("open_jar")
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    rgb[4:7, 9:12] = TASK_COLORS["open_jar"].astype(np.uint8)
+    mask = det(rgb, "jar")
+    assert mask.sum() == 9 and mask[5, 10]
+    # fully occluded object -> single best-guess pixel (OWL-ViT argmax box
+    # semantics), never an exception
+    rgb2 = np.full((16, 16, 3), 30, np.uint8)
+    rgb2[2, 3] = (120, 40, 40)  # reddish-ish: nearest to the jar color
+    mask2 = det(rgb2, "jar")
+    assert mask2.sum() >= 1 and mask2[2, 3]
+
+
+def test_vlm_crop_env_uses_pixels_not_ground_truth():
+    """The env's VLM path must latch a pixels-derived crop point once per
+    episode (scene_two_robots.py:494 semantics) that tracks the object to a
+    few cm without consulting the backend position."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from voxactb_tpu.sim.environment import BimanualTaskEnvironment
+    from voxactb_tpu.sim.tasks import TASK_REGISTRY
+    from voxactb_tpu.vlm.pipeline import VLM, ColorDetector
+
+    env = BimanualTaskEnvironment(
+        TASK_REGISTRY["hand_over_item"], cameras=("wrist", "wrist2"),
+        image_size=32, seed=7, vlm=VLM(ColorDetector("hand_over_item")))
+    env.reset_to_demo(0)
+    gt = env.backend.get_object("cube").position
+    est = env.target_object_world_coords()
+    assert np.linalg.norm(est - gt) < 0.05
+    assert not np.allclose(est, gt)        # pixels-derived, not the GT value
+    # latched: moving the cube mid-episode must NOT move the crop point
+    env.backend.get_object("cube").position = gt + np.array([0.2, 0.0, 0.0])
+    est2 = env.target_object_world_coords()
+    np.testing.assert_allclose(est2, est)
