@@ -63,15 +63,33 @@ def main():
     bt = jnp.asarray(rng.normal(size=(th,)).astype(np.float32), jnp.bfloat16)
 
     variants = ["full", "nostats", "notrans", "tap1", "dma"]
+    # chain CHAIN calls per fetch: a single-call fetch pays the ~100-200 ms
+    # relay round trip + a 4 MB trans download, which drowned the overnight
+    # r4d run's deltas (its `notrans` came out SLOWER than `full`); per-call
+    # deltas are only meaningful when the kernel runs many times per fetch
+    CHAIN = 16
+    import functools
+
     fns = {}
     for v in variants:
         abl = "" if v == "full" else v
-        out = decoder_head_v2(d0, u0, wf, bf, wt, bt,
-                              interpret=args.cpu, ablate=abl)
-        trans = np.asarray(out[0])  # compile + warm
+
+        @functools.partial(jax.jit, static_argnames=("ablate",))
+        def chained(d0, u0, ablate=abl):
+            def one(carry, _):
+                out = decoder_head_v2(d0 + carry, u0, wf, bf, wt, bt,
+                                      interpret=args.cpu, ablate=ablate)
+                # fold a scalar back in so iterations cannot be CSE'd
+                return carry + 0.0 * out[0].ravel()[0].astype(jnp.bfloat16), \
+                    out[0].ravel()[0]
+            return jax.lax.scan(one, jnp.bfloat16(0.0), None, length=CHAIN)[1]
+
+        probe = np.asarray(chained(d0, u0, ablate=abl))  # compile + warm
         if v == "full":
-            assert np.isfinite(trans).all()
-        fns[v] = abl
+            assert np.isfinite(np.asarray(
+                decoder_head_v2(d0, u0, wf, bf, wt, bt,
+                                interpret=args.cpu)[0])).all()
+        fns[v] = (chained, abl)
         print(json.dumps({"compiled": v}), flush=True)
 
     if args.cpu:
@@ -81,11 +99,12 @@ def main():
     walls = {v: [] for v in variants}
     for _ in range(args.reps):
         for v in variants:
+            chained, abl = fns[v]
             t0 = time.perf_counter()
-            np.asarray(decoder_head_v2(d0, u0, wf, bf, wt, bt,
-                                       ablate=fns[v])[0])
+            np.asarray(chained(d0, u0, ablate=abl))
             walls[v].append(time.perf_counter() - t0)
-    med = {v: round(sorted(w)[len(w) // 2] * 1e3, 2) for v, w in walls.items()}
+    med = {v: round(sorted(w)[len(w) // 2] / CHAIN * 1e3, 2)
+           for v, w in walls.items()}
     shares = {
         "stats_ms": round(med["full"] - med["nostats"], 2),
         "trans_ms": round(med["full"] - med["notrans"], 2),
