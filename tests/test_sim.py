@@ -308,6 +308,10 @@ def test_pinhole_projection_consistency():
     # fall into the behind-camera/out-of-image skips above, or a projection
     # regression in the static rig would pass silently
     assert "front" in validated, "front camera skipped projection validation"
+    # and at least one validated camera must actually land on the jar color —
+    # otherwise a K/E regression that projects in-image but onto the wrong
+    # pixel would still pass
+    assert hits >= 1, f"no validated camera ({validated}) hit the jar color"
     assert hits >= 1, "no camera saw the jar at its projected position"
     # ... and after moving a TCP next to the jar, that wrist camera (which
     # tracks its own TCP) must also project the jar into view

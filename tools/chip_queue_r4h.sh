@@ -18,6 +18,7 @@ mkdir -p "$LOGDIR"
     sleep 30
   done ) >> "$LOGDIR/rss.log" 2>&1 &
 WATCHDOG=$!
+trap 'kill $WATCHDOG 2>/dev/null' EXIT
 
 run() {
   local name="$1" tmo="$2"; shift 2
