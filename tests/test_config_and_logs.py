@@ -74,6 +74,25 @@ def test_csv_writer_resume_preserves_prior_rows(tmp_path):
     assert rows[0]["extra"] == ""
 
 
+def test_csv_writer_truncate_from_drops_post_checkpoint_rows(tmp_path):
+    """Train resume restarts from the last checkpoint; rows logged after it by
+    the interrupted leg must be dropped so the CSV holds one run's trajectory
+    (the advisor's artifact-mixing finding on the r4d hand_over_item leg)."""
+    p = str(tmp_path / "t.csv")
+    w = CsvWriter(p)
+    for s in (0, 100, 200, 300):
+        w.write({"step": s, "loss": float(s)})
+    del w
+
+    w2 = CsvWriter(p)  # restarted process resuming from the step-200 ckpt
+    w2.truncate_from(201)
+    w2.write({"step": 300, "loss": -1.0})
+    with open(p) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["0", "100", "200", "300"]
+    assert rows[-1]["loss"] == "-1.0"  # the resumed leg's row, not the stale one
+
+
 def test_log_writer_writes_scalars(tmp_path):
     lw = LogWriter(str(tmp_path), tensorboard_logging=False)
     lw.add_summaries(5, [ScalarSummary("losses/total", 2.5),

@@ -86,6 +86,10 @@ class OfflineTrainRunner:
         if start >= self._training_iterations:
             logging.info("already trained to %d; nothing to do", start)
             return
+        if start > 0:
+            # rows logged past the checkpoint belong to the interrupted leg —
+            # drop them so the CSV holds exactly one run's trajectory
+            self._writer.truncate_from(start)
 
         from voxactb_tpu.utils.profiling import StepTimer, host_gauges
 

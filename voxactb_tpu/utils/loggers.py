@@ -55,6 +55,27 @@ class CsvWriter:
                         w.writeheader()
                     w.writerow({k: row.get(k, "") for k in self._fieldnames})
 
+    def truncate_from(self, step: int) -> None:
+        """Drop rows with ``step`` >= the given step and rewrite the file.
+
+        Called on train resume: the run restarts from the last checkpoint, so
+        rows logged AFTER that checkpoint belong to the interrupted leg and
+        would otherwise duplicate once the resumed run re-logs them (the
+        reference's append-only LogWriter has this artifact-mixing flaw on
+        resume; yarr/utils/log_writer.py:75-124)."""
+        with self._lock:
+            kept = []
+            for r in self._rows:
+                try:
+                    if float(r.get("step", -1)) >= step:
+                        continue
+                except (TypeError, ValueError):
+                    pass
+                kept.append(r)
+            if len(kept) != len(self._rows):
+                self._rows = kept
+                self._rewrite()
+
     def _rewrite(self) -> None:
         with open(self._path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._fieldnames)
@@ -107,6 +128,12 @@ class LogWriter:
         sink = self._env_csv if env else self._csv
         if sink is not None and len(row) > 1:
             sink.write(row)
+
+    def truncate_from(self, step: int) -> None:
+        """Drop CSV rows at/after ``step`` (see ``CsvWriter.truncate_from``)."""
+        for sink in (self._csv, self._env_csv):
+            if sink is not None:
+                sink.truncate_from(step)
 
     def flush(self) -> None:
         if self._tb is not None:
