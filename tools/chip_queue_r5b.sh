@@ -41,6 +41,7 @@ run() {
       echo "[chipq] $(date +%H:%M:%S) ABORT $name: TPU never recovered" | tee -a "$LOGDIR/status"
       return 1
     }
+    sleep 30  # let the probe's pool claim fully release before the next claim
     timeout "$tmo" "$@" >> "$LOGDIR/$name.log" 2>&1 &
     local pid=$!
     local stalled=0
@@ -58,9 +59,18 @@ run() {
     done
     wait "$pid" 2>/dev/null
     local rc=$?
+    if [ "$stalled" = 0 ] && [ "$rc" = 0 ]; then
+      echo "[chipq] $(date +%H:%M:%S) DONE $name exit=0" | tee -a "$LOGDIR/status"
+      return 0
+    fi
+    # nonzero exit without a stall (e.g. FAILED_PRECONDITION right after a
+    # wedge recovery, when the pool chip needs settling time before the next
+    # claim) is retryable the same way a stall is — loop back through the
+    # health gate after a pause
     if [ "$stalled" = 0 ]; then
-      echo "[chipq] $(date +%H:%M:%S) DONE $name exit=$rc" | tee -a "$LOGDIR/status"
-      return $rc
+      echo "[chipq] $(date +%H:%M:%S) FAIL $name exit=$rc — retrying" \
+        | tee -a "$LOGDIR/status"
+      sleep 120
     fi
   done
   echo "[chipq] $(date +%H:%M:%S) GIVE-UP $name after $tries tries" | tee -a "$LOGDIR/status"
