@@ -161,9 +161,15 @@ def time_train_chain(batch: int, n_steps: int = 8):
     # recomputing the forward costs more than the 128 MB/sample activation
     # traffic it saves on this part, so remat defaults OFF
     remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
+    # custom-VJP flash attention in the train step (probabilities never reach
+    # HBM in fwd or bwd — the measured dominant term of the 3:1 bwd/fwd
+    # ratio); default pending the on-chip A/B (tools/profile_train.py
+    # full_flashtrain row)
+    flash_train = os.environ.get("BENCH_TRAIN_FLASH", "0") == "1"
     cfg = MethodConfig(voxel_sizes=[50], which_arm="dominant", arm_pred_loss=True,
                        crop_target_obj_voxel=True, crop_radius=0.3,
-                       compute_dtype="bfloat16", apply_se3=True, remat=remat)
+                       compute_dtype="bfloat16", apply_se3=True, remat=remat,
+                       pallas_attention_train=flash_train)
     cameras = ["wrist", "wrist2"]
     optimizer = make_optimizer(cfg, training_iterations=100_000)
     _, init_fn, step_fn = make_train_step(cfg, optimizer, cameras)

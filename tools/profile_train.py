@@ -205,6 +205,9 @@ def main():
         ("full", {}),
         ("full_remat", {"remat": True}),
         ("full_noaug", {"apply_se3": False}),
+        # custom-VJP flash attention: the [B,H,Tq,Tk] probabilities never
+        # reach HBM in fwd or bwd (ops/pallas/flash_attention.py)
+        ("full_flashtrain", {"pallas_attention_train": True}),
     ]:
         cfg = MethodConfig(**{**base, **flags,
                               "apply_se3": flags.get("apply_se3", True)})

@@ -75,6 +75,7 @@ def build_encoder(cfg: MethodConfig, low_dim_size: Optional[int] = None
         pallas_decoder_v2c=cfg.pallas_decoder_v2c,
         pallas_encoder=cfg.pallas_encoder,
         pallas_attention=cfg.pallas_attention,
+        pallas_attention_train=cfg.pallas_attention_train,
         pallas_interpret=cfg.pallas_interpret,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )

@@ -112,6 +112,9 @@ class MethodConfig:
     # front kernel (replaces the serial RMW loop entirely; A/B on chip)
     pallas_attention: bool = False  # flash attention in the perceiver trunk
     # (TPU inference, bf16): logits never materialize in HBM
+    pallas_attention_train: bool = False  # custom-VJP flash attention in the
+    # train step (bf16): the [B,H,Tq,Tk] probabilities stay in VMEM through
+    # forward AND backward; attn dropout runs in-kernel (A/B on chip)
     pallas_interpret: bool = False  # run pallas kernels interpreted (CPU tests)
 
     @property

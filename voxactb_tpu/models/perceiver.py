@@ -48,6 +48,7 @@ class Attention(nn.Module):
     out_dim: int
     dropout: float = 0.0
     flash: bool = False          # pallas kernel: logits never hit HBM
+    flash_train: bool = False    # custom-VJP flash kernel + in-kernel dropout
     flash_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -73,13 +74,36 @@ class Attention(nn.Module):
         use_flash = (self.flash and deterministic
                      and not self.is_initializing()
                      and self.dtype == jnp.bfloat16)
-        if use_flash:
-            from voxactb_tpu.ops.pallas.flash_attention import flash_attention
-
+        # training fast path: custom-VJP kernel — neither the forward nor the
+        # backward materializes the [B,H,Tq,Tk] probabilities (the dominant
+        # HBM term of the train step's measured 3:1 bwd/fwd ratio); dropout
+        # runs in-kernel from a counter-based mask
+        use_flash_train = (self.flash_train and not deterministic
+                           and not self.is_initializing()
+                           and self.dtype == jnp.bfloat16)
+        if use_flash or use_flash_train:
             b, h, n, d = q.shape
             flat = lambda t: t.reshape(b * h, t.shape[2], d)
-            out = flash_attention(flat(q * scale), flat(k), flat(v),
-                                  interpret=self.flash_interpret)
+            if use_flash:
+                from voxactb_tpu.ops.pallas.flash_attention import (
+                    flash_attention,
+                )
+
+                out = flash_attention(flat(q * scale), flat(k), flat(v),
+                                      interpret=self.flash_interpret)
+            else:
+                from voxactb_tpu.ops.pallas.flash_attention import (
+                    flash_attention_train,
+                )
+
+                if self.dropout > 0.0:
+                    seed = jax.random.bits(self.make_rng("dropout"), (),
+                                           jnp.uint32)
+                else:
+                    seed = jnp.zeros((), jnp.uint32)
+                out = flash_attention_train(
+                    flat(q * scale), flat(k), flat(v), seed,
+                    dropout=self.dropout, interpret=self.flash_interpret)
             out = out.reshape(b, h, n, d)
         else:
             sim = jnp.einsum("bhid,bhjd->bhij", q, k,
@@ -104,6 +128,7 @@ class PreNormAttention(nn.Module):
     dropout: float = 0.0
     norm_context: bool = False
     flash: bool = False
+    flash_train: bool = False
     flash_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -114,7 +139,8 @@ class PreNormAttention(nn.Module):
             context = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_context")(context)
         return Attention(
             self.heads, self.dim_head, self.out_dim, self.dropout,
-            flash=self.flash, flash_interpret=self.flash_interpret,
+            flash=self.flash, flash_train=self.flash_train,
+            flash_interpret=self.flash_interpret,
             dtype=self.dtype, name="attn",
         )(y, context, deterministic=deterministic)
 
@@ -189,6 +215,9 @@ class PerceiverVoxelLangEncoder(nn.Module):
     pallas_attention: bool = False  # flash attention in the trunk (inference,
     # bf16): cross/self/decoder logits never materialize in HBM
     # (ops/pallas/flash_attention.py)
+    pallas_attention_train: bool = False  # custom-VJP flash attention in
+    # training (bf16): probabilities stay in VMEM through fwd AND bwd;
+    # attn dropout runs in-kernel (flash_attention.flash_attention_train)
     dtype: jnp.dtype = jnp.float32
 
     def _stats(self, x):
@@ -307,13 +336,16 @@ class PerceiverVoxelLangEncoder(nn.Module):
         cross_attn = PreNormAttention(
             self.cross_heads, self.cross_dim_head, self.latent_dim,
             self.input_dropout, norm_context=True,
-            flash=self.pallas_attention, flash_interpret=self.pallas_interpret,
+            flash=self.pallas_attention,
+            flash_train=self.pallas_attention_train,
+            flash_interpret=self.pallas_interpret,
             dtype=self.dtype, name="cross_attend",
         )
         cross_ff = FeedForward(self.latent_dim, dtype=self.dtype, name="cross_ff")
         self_attns = [
             PreNormAttention(self.latent_heads, self.latent_dim_head, self.latent_dim,
                              self.attn_dropout, flash=self.pallas_attention,
+                             flash_train=self.pallas_attention_train,
                              flash_interpret=self.pallas_interpret,
                              dtype=self.dtype, name=f"self_attn_{i}")
             for i in range(self.depth)
@@ -334,6 +366,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
         decoded = PreNormAttention(
             self.cross_heads, self.cross_dim_head, dim, self.decoder_dropout,
             norm_context=True, flash=self.pallas_attention,
+            flash_train=self.pallas_attention_train,
             flash_interpret=self.pallas_interpret,
             dtype=self.dtype, name="decoder_cross_attn",
         )(seq, x, deterministic=deterministic)
