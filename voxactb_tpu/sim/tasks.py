@@ -264,25 +264,38 @@ class HandOverItem(BimanualTask):
         # voxel plane, collapsing the receiver's stage separation (live probe:
         # arm pinned at zmax - res/2).
         meet = np.array([cube.position[0], cube.position[1], TABLE_Z + 0.16])
-        # The giver's release happens 1 cm above the presentation pose (so the
-        # no-duplicate keyframe scanner, demo_loading_utils.py:274-289, still
-        # emits the gripper flip on a moved pose) and the giver then withdraws
-        # in the FIXED -x direction (variation-independent). The receiver
-        # descends in stages so that, under the eval rollout's strict
-        # assistive/dominant alternation (rollout_generator.py:233-244),
-        # 'receive' executes only after 'present' and 'release' had their turns.
-        withdraw = meet + np.array([-0.12, 0.0, 0.0])
+        # STRICT a/d ALTERNATION. The eval rollout alternates assistive (even
+        # steps) and dominant (odd steps) turns (rollout_generator.py:233-244);
+        # a demo that runs one arm's waypoints back-to-back (the reference
+        # groups all assistive dummies before all dominant ones,
+        # task_two_robots.py _get_waypoints_dominant_assistive) trains each
+        # policy only on contexts where the OTHER arm sits at its
+        # demo-schedule pose. hand_over is the one benchmark task whose
+        # keyframes revisit the same position (present/release at the meet
+        # point), so the policy must disambiguate its stage from the other
+        # arm's configuration — and at eval the other arm is always at its
+        # ALTERNATION pose, never its demo pose. Round-5 live probe: the giver
+        # saw the receiver hovering at the meet (an end-of-demo context) on
+        # its second turn and skipped straight to 'withdraw'; both arms then
+        # looped (probe_policy_open_loop --live: replay exact-match 0.988,
+        # val 0-4%). Interleaving the waypoints a,d,a,d makes every training
+        # context exactly the context the alternating rollout produces.
+        # The giver's release is 1 cm above the presentation pose and the
+        # receiver's align/receive differ by 2 cm so the no-duplicate keyframe
+        # scanner (demo_loading_utils.py:274-289) keeps every gripper flip on
+        # a moved pose. TCP separation stays >= 4 cm at the tightest step
+        # (backend ARM_MIN_SEPARATION = 2.5 cm). The released cube holds its
+        # pose (kinematic backend, no gravity) until the receiver closes
+        # 4 cm above it — inside GRASP_RADIUS, on the approach axis.
         return [
             Waypoint(a, cube.position + [0, 0, 0.10], DOWN, 1.0, label="approach"),
-            Waypoint(a, cube.position, DOWN, 0.0, label="grasp"),
-            Waypoint(a, meet, DOWN, None, label="present"),
             Waypoint(d, meet + [0, 0, 0.12], DOWN, 1.0, label="reach"),
+            Waypoint(a, cube.position, DOWN, 0.0, label="grasp"),
             Waypoint(d, meet + [0, 0, 0.08], DOWN, 1.0, label="descend"),
-            Waypoint(d, meet + [0, 0, 0.06], DOWN, 1.0, label="align"),
+            Waypoint(a, meet, DOWN, None, label="present"),
+            Waypoint(d, meet + [0, 0, 0.07], DOWN, 1.0, label="align"),
             Waypoint(a, meet + [0, 0, 0.01], DOWN, 1.0, label="release"),
             Waypoint(d, meet + [0, 0, 0.05], DOWN, 0.0, label="receive"),
-            Waypoint(a, withdraw, DOWN, None, label="withdraw"),
-            Waypoint(d, meet + [0, 0, 0.10], DOWN, None, label="retreat"),
         ]
 
 
