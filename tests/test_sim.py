@@ -473,3 +473,28 @@ def test_placement_retry_machinery():
         sample_disjoint_position(backend, np.random.default_rng(0),
                                  [0.2, -0.3, 0.8], [0.4, 0.3, 0.8],
                                  np.full(3, 0.05), max_attempts=5)
+
+
+def test_hand_over_waypoints_strictly_alternate():
+    """hand_over_item's demo waypoints must interleave a,d,a,d.
+
+    The eval rollout alternates assistive (even steps) and dominant (odd
+    steps) turns (rollout_generator.py:233-244). hand_over is the one
+    benchmark task whose keyframes revisit the same position (present /
+    release at the meet point), so each policy disambiguates its stage from
+    the OTHER arm's configuration — a demo that groups one arm's waypoints
+    back-to-back trains on contexts the alternating rollout never produces
+    (round-5 diagnosis: the giver skipped to its last keyframe on turn 2 and
+    both arms looped; val 0-4% despite replay exact-match 0.988)."""
+    from voxactb_tpu.sim.environment import BimanualTaskEnvironment
+    from voxactb_tpu.sim.tasks import HandOverItem
+
+    env = BimanualTaskEnvironment(HandOverItem, image_size=8)
+    env.launch()
+    env.reset()
+    for dom in ("right", "left"):
+        wps = env.task.get_waypoints(dom)
+        a = "left" if dom == "right" else "right"
+        assert [w.arm for w in wps] == [a, dom] * (len(wps) // 2)
+        # the scripted handover hands the cube to the dominant arm last
+        assert wps[-1].arm == dom and wps[-1].gripper_open == 0.0
