@@ -287,13 +287,18 @@ class HandOverItem(BimanualTask):
         # (backend ARM_MIN_SEPARATION = 2.5 cm). The released cube holds its
         # pose (kinematic backend, no gravity) until the receiver closes
         # 4 cm above it — inside GRASP_RADIUS, on the approach axis.
+        # Three keyframes per arm (the reference's structure: 3 dummies per
+        # arm, hand_over_item.py:16-24), every stage >= 3 cm from its
+        # neighbors (>= 2.5 voxels at the 50-voxel crop) so each policy's
+        # next-keyframe map is unique in its OWN pose alone: giver
+        # 0.88-open -> 0.78-close -> 0.93-open, receiver 1.04 -> 1.00 ->
+        # 0.97-close (z at the sampled episode). Success (receiver grasps)
+        # lands on eval turn 5 of the 25-step horizon.
         return [
             Waypoint(a, cube.position + [0, 0, 0.10], DOWN, 1.0, label="approach"),
             Waypoint(d, meet + [0, 0, 0.12], DOWN, 1.0, label="reach"),
             Waypoint(a, cube.position, DOWN, 0.0, label="grasp"),
             Waypoint(d, meet + [0, 0, 0.08], DOWN, 1.0, label="descend"),
-            Waypoint(a, meet, DOWN, None, label="present"),
-            Waypoint(d, meet + [0, 0, 0.07], DOWN, 1.0, label="align"),
             Waypoint(a, meet + [0, 0, 0.01], DOWN, 1.0, label="release"),
             Waypoint(d, meet + [0, 0, 0.05], DOWN, 0.0, label="receive"),
         ]
