@@ -59,6 +59,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--flash-ab-only", action="store_true",
+                    help="run only the full vs full_flashtrain paired A/B")
     ap.add_argument("--bwd-split", action="store_true",
                     help="attribute the backward's 3:1 cost over the forward "
                          "(VERDICT r4 #6): time the vjp application ALONE "
@@ -201,14 +203,19 @@ def main():
 
     # -- full step under flag A/Bs ------------------------------------------
     state0 = None
-    for name, flags in [
+    ab_rows = [
         ("full", {}),
         ("full_remat", {"remat": True}),
         ("full_noaug", {"apply_se3": False}),
         # custom-VJP flash attention: the [B,H,Tq,Tk] probabilities never
         # reach HBM in fwd or bwd (ops/pallas/flash_attention.py)
         ("full_flashtrain", {"pallas_attention_train": True}),
-    ]:
+    ]
+    if args.flash_ab_only:
+        # paired A/B for the flash-train kernel alone: the remat/noaug rows
+        # were measured in round 4 and cost ~4 min of relay compile each
+        ab_rows = [ab_rows[0], ab_rows[3]]
+    for name, flags in ab_rows:
         cfg = MethodConfig(**{**base, **flags,
                               "apply_se3": flags.get("apply_se3", True)})
         optimizer = make_optimizer(cfg, training_iterations=100_000)

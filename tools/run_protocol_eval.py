@@ -268,14 +268,20 @@ def main():
 
         for task in args.tasks:
             if task not in summary:
-                print(f"[{task}] no protocol artifact in summary.json — "
+                print(f"[{task}] SKIP vlm eval: no protocol artifact in summary.json — "
                       "run the protocol first", flush=True)
                 continue
             acting_dir = summary[task]["acting_dir"]
             stab_dir = acting_dir.replace("train_dominant", "train_assistive")
             best_left = (summary[task].get("stab_sweep") or {}).get(
                 "best_left_step")
-            stab_ckpt = ckpt_file(stab_dir, best_left)
+            try:
+                stab_ckpt = ckpt_file(stab_dir, best_left)
+            except FileNotFoundError as e:
+                # committed artifacts keep CSVs but not weights — a vlm re-eval
+                # needs the trained checkpoints on disk
+                print(f"[{task}] SKIP vlm eval: {e}", flush=True)
+                continue
             rows_val = run_eval(task, acting_dir, stab_ckpt, args.episodes,
                                 args.val_seed, "best", "eval_data_vlm.csv",
                                 selection_csv="eval_data.csv",
