@@ -163,9 +163,11 @@ def time_train_chain(batch: int, n_steps: int = 8):
     remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
     # custom-VJP flash attention in the train step (probabilities never reach
     # HBM in fwd or bwd — the measured dominant term of the 3:1 bwd/fwd
-    # ratio); default pending the on-chip A/B (tools/profile_train.py
-    # full_flashtrain row)
-    flash_train = os.environ.get("BENCH_TRAIN_FLASH", "0") == "1"
+    # ratio). Default ON from the paired on-chip A/B (2026-08-21,
+    # tools/profile_train.py --flash-ab-only, one process, median-of-5 per 8
+    # samples at 50^3 b8): full 329.75 ms vs full_flashtrain 167.48 ms — the
+    # kernel halves the step.
+    flash_train = os.environ.get("BENCH_TRAIN_FLASH", "1") == "1"
     cfg = MethodConfig(voxel_sizes=[50], which_arm="dominant", arm_pred_loss=True,
                        crop_target_obj_voxel=True, crop_radius=0.3,
                        compute_dtype="bfloat16", apply_se3=True, remat=remat,

@@ -146,7 +146,9 @@ def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref,
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=-1, keepdims=True)
-    lse_ref[0] = (m + jnp.log(s))[:, 0]
+    # lane-broadcast row stats: Mosaic requires output blocks tiled (8, 128),
+    # so lse is a [qb, 128] broadcast instead of a [qb] vector
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(s), (p.shape[0], 128))
     attn = p / s
     if dropout > 0.0:
         qb, tk = attn.shape
@@ -166,7 +168,7 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, lse_ref, do_ref, m_ref,
     logits = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    p = jnp.exp(logits + m_ref[0] - lse_ref[0][:, None])     # [qb, tk]
+    p = jnp.exp(logits + m_ref[0] - lse_ref[0][:, 0:1])      # [qb, tk]
     do = do_ref[0]
     # dA = dO @ V^T ; dP = keep/kp * dA ; A = keep/kp * P
     da = jax.lax.dot_general(
@@ -253,12 +255,12 @@ def _flash_train_fwd(q, k, v, seed, dropout, q_block, interpret):
         out_specs=(
             pl.BlockSpec((1, q_block, hd_pad), lambda h, i: (h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_block), lambda h, i: (h, i),
+            pl.BlockSpec((1, q_block, 128), lambda h, i: (h, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, tq_pad, hd_pad), v.dtype),
-            jax.ShapeDtypeStruct((bh, tq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tq_pad, 128), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -285,7 +287,7 @@ def _flash_train_bwd(dropout, q_block, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk_pad, hd_pad), lambda h, i: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_block), lambda h, i: (h, i),
+            pl.BlockSpec((1, q_block, 128), lambda h, i: (h, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, q_block, hd_pad), lambda h, i: (h, i, 0),
                          memory_space=pltpu.VMEM),
