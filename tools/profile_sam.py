@@ -84,7 +84,13 @@ def main():
         for name, d, skip in (("d0", 0, True), ("d7", 7, True),
                               ("d8", 8, True), ("d32nn", -1, True),
                               ("full", -1, False)):
-            f = jax.jit(enc_t(d, skip).apply)
+            # reduce to a scalar INSIDE the jit: truncated encoders return the
+            # [1,64,64,1280] trunk activation, and fetching 21 MB through the
+            # relay costs ~1s — the first run of this ladder measured fetch,
+            # not compute (d0 'patch embed' 1078 ms > full 480 ms)
+            m = enc_t(d, skip)
+            f = jax.jit(lambda p, x, m=m: jnp.sum(
+                m.apply(p, x).astype(jnp.float32)))
             ladder[name] = timed(f, params, img) * 1e3
             print(json.dumps({"stage_run": name,
                               "ms": round(ladder[name], 1)}), flush=True)
