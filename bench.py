@@ -448,7 +448,13 @@ def time_sam_h(n_frames: int = 2):
 
     sam = sam_vit_h(dtype=jnp.bfloat16, fused_windowed=SAM_FUSED_WINDOWED)
     params = jax.jit(sam.init)(jax.random.key(0), jnp.zeros((1, 1024, 1024, 3)))
-    f = jax.jit(sam.apply)
+    # reduce on device: the [1,64,64,256] neck embedding feeds the on-device
+    # mask decoder in production, so fetching it to the host is not part of
+    # the encoder's cost — and on this relay the 4 MB fetch dominated the old
+    # number (~300 ms reported vs 169.5 ms compute; see the round-5 stage
+    # ladder, tools/profile_sam.py --stage: windowed 123.6 / patch 28.6 /
+    # global 18.8 / neck 0.8 ms, sol_frac 0.556)
+    f = jax.jit(lambda p, x: jnp.sum(sam.apply(p, x).astype(jnp.float32)))
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.normal(size=(n_frames, 1, 1024, 1024, 3))
                        .astype(np.float32))
